@@ -1,0 +1,399 @@
+"""Typed configuration for the TPU-native hybrid neural rendering framework.
+
+The reference (CVMI-Lab/HybridNeuralRendering) drives everything through a flat
+~150-flag argparse namespace assembled in two phases
+(/root/reference/options/base_options.py:117-136) with per-scene bash presets
+(/root/reference/dev_scripts/w_scannet_etf/scene241_full.sh).  Here the same
+knobs become frozen dataclasses: one sub-config per subsystem, composed into a
+single `Config`, with the canonical scene presets expressed as constructors.
+
+Everything that determines *shapes* under jit (rays per batch, samples per ray,
+neighbor counts, point capacity, voxel-grid capacity) lives here as static
+Python ints so a single compiled executable serves the whole training run.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Optional, Sequence, Tuple
+
+
+def _t3(x) -> Tuple[float, float, float]:
+    a, b, c = x
+    return (float(a), float(b), float(c))
+
+
+@dataclass(frozen=True)
+class QuerierConfig:
+    """Voxel-grid ray->neighbor-point querier.
+
+    Mirrors the hyperparameters of the reference CUDA querier
+    (/root/reference/models/neural_points/query_point_indices_worldcoords.py:46-77
+    and neural_points.py:13-230) but with static capacities so the whole query
+    compiles to fixed-shape XLA: rays that miss are masked, never compacted.
+    """
+
+    # Base voxel size (world units) and integer scale -> query voxel = vsize*vscale.
+    vsize: Tuple[float, float, float] = (0.008, 0.008, 0.008)
+    vscale: Tuple[int, int, int] = (2, 2, 2)
+    # Occupancy dilation half-width per axis (reference `kernel_size`, full width).
+    kernel_size: Tuple[int, int, int] = (3, 3, 3)
+    # Neighbor-voxel search region per axis (reference `query_size`, full width).
+    query_size: Tuple[int, int, int] = (3, 3, 3)
+    # Candidate samples per ray before occupancy culling (reference z_depth_dim).
+    z_depth_dim: int = 400
+    # Shading points kept per ray.
+    SR: int = 24
+    # Neighbor points kept per shading point.
+    K: int = 8
+    # Max points stored per voxel.
+    P: int = 26
+    # Max occupied voxels (compact table capacity).
+    max_o: int = 610000
+    # World-space AABB clip for the grid (xmin ymin zmin xmax ymax zmax).
+    ranges: Tuple[float, float, float, float, float, float] = (
+        -10.0, -10.0, -10.0, 10.0, 10.0, 10.0)
+    # Linear voxel budget: grid dims are data (from the live point AABB) but the
+    # dense grid buffer is this static capacity.
+    grid_capacity: int = 48_000_000
+    # Neighbor radius cap = radius_limit_scale * max(base vsize x, y) — the
+    # reference scales the *unscaled* vsize (query_point_indices_worldcoords.py:75).
+    radius_limit_scale: float = 4.0
+    # Jitter fraction of a step during training ray sampling (reference 0.3).
+    sample_jitter: float = 0.3
+    # 'linear' | 'disparity' candidate spacing along the ray.
+    sample_mode: str = "linear"
+
+    @property
+    def query_vsize(self) -> Tuple[float, float, float]:
+        return tuple(v * s for v, s in zip(self.vsize, self.vscale))
+
+    @property
+    def radius_limit(self) -> float:
+        return self.radius_limit_scale * max(self.vsize[0], self.vsize[1])
+
+
+@dataclass(frozen=True)
+class PointsConfig:
+    """Neural point cloud layout (reference models/neural_points/neural_points.py:11-230)."""
+
+    num_points: int = 800_000          # static capacity; live count is data
+    feature_dim: int = 32              # reference point_features_dim
+    color_mode: str = "1"              # '1': separate color fed to block3
+    dir_mode: str = "1"
+    conf_mode: str = "1"               # '1': conf multiplies aggregation weight
+    xyz_grad: bool = False
+    feat_grad: bool = True
+    conf_grad: bool = True
+    color_grad: bool = True
+    dir_grad: bool = True
+    feature_init_method: str = "rand"
+
+
+@dataclass(frozen=True)
+class AggregatorConfig:
+    """The viewmlp shading network + hybrid image-feature fusion.
+
+    Mirrors /root/reference/models/aggregators/point_aggregators.py:426-751
+    (viewmlp_init) with scene241_full.sh values as defaults.
+    """
+
+    which_agg_model: str = "viewmlp"
+    agg_distance_kernel: str = "linear"   # linear|quadric|numquadric|numlinear|avg|trilinear
+    agg_dist_pers: int = 20               # 20 = concat(world delta, persp delta)
+    agg_intrp_order: int = 2              # aggregate after per-point alpha
+    agg_weight_norm: bool = True
+    agg_axis_weight: Tuple[float, float, float] = (1.0, 1.0, 1.0)
+    apply_pnt_mask: bool = True
+    act_type: str = "leaky_relu"          # LeakyReLU(0.01) in torch default
+    act_super: bool = True                # mip-nerf stabilized activations
+
+    point_features_dim: int = 32
+    shading_feature_num: int = 256
+    shading_feature_mlp_layer1: int = 2
+    shading_feature_mlp_layer2: int = 0
+    shading_feature_mlp_layer3: int = 2
+    shading_alpha_mlp_layer: int = 1
+    shading_color_mlp_layer: int = 4
+    shading_color_channel_num: int = 3
+
+    num_pos_freqs: int = 10
+    num_viewdir_freqs: int = 4
+    num_feat_freqs: int = 3
+    dist_xyz_freq: int = 5
+    dist_xyz_deno: float = 0.0
+
+    agg_feat_xyz_mode: str = "None"
+    agg_alpha_xyz_mode: str = "None"
+    agg_color_xyz_mode: str = "None"
+
+    # Hybrid rendering (image-based branch).
+    use_nearest: int = 4                  # number of nearby training views fused
+    feature_guidance: bool = True         # 3D feature guides fusion weights
+    use_delta_view: bool = True
+    downweight_blurry_feats: bool = False  # multiply fusion weight by frame weight
+    tradition_attention: bool = False      # QKV attention instead of weight MLP
+    use_gumbel_softmax: bool = False
+    frame_level_attention: bool = False
+    mixup_mode: str = "partial"
+    learn_residuals: bool = True
+    dynamic_weight: bool = False
+    separate_color_decoder: bool = False
+    large_color_final_block: bool = False
+    add_idx: bool = False                  # frame-phase (sin,cos) channels into aux CNN
+    disable_viewdirs: bool = False
+    disable_color_feature: bool = False
+
+    # Train-time image-feature drop regularization.
+    drop_ratio: float = 0.5
+    random_position: int = 1              # 0: drop before fusion, 1: after
+    ray_points: bool = True               # drop whole rays (vs per shading point)
+    drop_patch: bool = True               # drop all rays of random patches
+
+    # Learnable blur kernel predictor head (returned to the model layer).
+    learnable_blur_kernel: bool = False
+    learnable_blur_kernel_size: int = 9
+    learnable_blur_kernel_mode: int = 4
+    learnable_blur_kernel_conv: bool = False
+    learnable_blur_kernel_norm: int = 0
+    learnable_blur_patch_size: int = 8
+    boundary_mode: int = 0
+
+    sparse_loss_weight: float = 0.0
+
+    @property
+    def aux_feature_channels(self) -> int:
+        """RGB + 3 CNN pyramid stages with channel expansion x2: 3*(1+2+4+8)=45."""
+        e = 2
+        return 3 * (1 + e + e ** 2 + e ** 3)
+
+    @property
+    def dist_dim(self) -> int:
+        return (4 if self.agg_dist_pers == 30 else 6) if self.agg_dist_pers > 9 else 3
+
+
+@dataclass(frozen=True)
+class RenderConfig:
+    """Volume rendering knobs (reference models/rendering/)."""
+
+    which_ray_generation: str = "near_far_linear"
+    which_render_func: str = "radiance"
+    which_blend_func: str = "alpha"
+    which_tonemap_func: str = "off"
+    raydist_mode_unit: bool = True
+    bg_color: Tuple[float, float, float] = (1.0, 1.0, 1.0)
+    near_plane: float = 0.1
+    far_plane: float = 8.0
+
+
+@dataclass(frozen=True)
+class BlurConfig:
+    """Blur-simulation module (reference models/base_rendering_model.py:677-1018
+    + kernel bank generation data/scannet_ft_dataset.py:184-242)."""
+
+    add_blur_sim: bool = False
+    blur_kernel_version: int = 3          # 1 asym, 2 sym, 3 both
+    blur_kernel_size: int = 9
+    num_move_dirs: int = 8
+    move_dists: Tuple[int, ...] = (1, 2, 4)
+    learnable: bool = False
+
+    @property
+    def num_kernels(self) -> int:
+        n_v1 = len(self.move_dists) * self.num_move_dirs
+        n_v2 = len(self.move_dists) * (self.num_move_dirs // 2)
+        if self.blur_kernel_version == 1:
+            return n_v1
+        if self.blur_kernel_version == 2:
+            return n_v2
+        return n_v1 + n_v2
+
+
+@dataclass(frozen=True)
+class SamplingConfig:
+    """Pixel sampling for training batches (reference data/scannet_ft_dataset.py:893-950)."""
+
+    random_sample: str = "dilated"        # patch|random|random2|dilated|no_crop
+    random_sample_size: int = 56          # rays per side (R = size^2)
+    dilation_patch_num: int = 7
+    dilation_patch_size: int = 8
+    dilation_max: int = 8
+    dilation_min: int = 1
+    edge_filter: int = 10                 # margin cropped at image edges
+
+    @property
+    def rays_per_batch(self) -> int:
+        return self.random_sample_size ** 2
+
+
+@dataclass(frozen=True)
+class LossConfig:
+    """Loss items and weights (reference base_rendering_model.py:40-141 + preset)."""
+
+    color_loss_items: Tuple[str, ...] = (
+        "ray_masked_coarse_raycolor", "ray_miss_coarse_raycolor", "coarse_raycolor")
+    color_loss_weights: Tuple[float, ...] = (1.0, 0.0, 0.0)
+    zero_one_loss_items: Tuple[str, ...] = ("conf_coefficient",)
+    zero_one_loss_weights: Tuple[float, ...] = (0.0001,)
+    zero_epsilon: float = 1e-3
+    sparse_loss_weight: float = 0.0
+    use_frame_weight: bool = False
+
+
+@dataclass(frozen=True)
+class OptimConfig:
+    """Three optimizer groups (reference mvs_points_volumetric_model.py:49-104)."""
+
+    lr: float = 0.0005        # network params
+    plr: float = 0.002        # neural-point params
+    mvs_lr: float = 0.0005    # MVS nets (feed-forward mode only)
+    lr_policy: str = "iter_exponential_decay"
+    lr_decay_iters: int = 1_000_000
+    lr_decay_exp: float = 0.1
+    maximum_step: int = 200_000
+    beta1: float = 0.9
+    beta2: float = 0.999
+
+
+@dataclass(frozen=True)
+class ProbeConfig:
+    """Point growing / pruning ("probe holes", reference run/train_ft.py:450-569)."""
+
+    prob_freq: int = 10_000
+    prob_num_step: int = 100
+    prob_thresh: float = 0.7
+    prob_mul: float = 0.4
+    prob_kernel_size: Tuple[int, ...] = (3, 3, 3, 1, 1, 1)
+    prob_tiers: Tuple[int, ...] = (40_000, 120_000)
+    prob_top: int = 1
+    prune_thresh: float = -1.0
+    prune_iter: int = -1
+    far_thresh: float = -1.0
+
+
+@dataclass(frozen=True)
+class ParallelConfig:
+    """Device-mesh layout. Rays are sharded over `data`; point cloud + params
+    replicated (reference ceiling was torch DataParallel,
+    neural_points_volumetric_model.py:165-167 — here it is a real SPMD mesh)."""
+
+    data_axis: str = "data"
+    mesh_shape: Optional[Tuple[int, ...]] = None   # None -> all devices on `data`
+    compute_dtype: str = "float32"                  # bfloat16 for matmul-heavy paths
+
+
+@dataclass(frozen=True)
+class Config:
+    name: str = "default"
+    querier: QuerierConfig = field(default_factory=QuerierConfig)
+    points: PointsConfig = field(default_factory=PointsConfig)
+    agg: AggregatorConfig = field(default_factory=AggregatorConfig)
+    render: RenderConfig = field(default_factory=RenderConfig)
+    blur: BlurConfig = field(default_factory=BlurConfig)
+    sampling: SamplingConfig = field(default_factory=SamplingConfig)
+    loss: LossConfig = field(default_factory=LossConfig)
+    optim: OptimConfig = field(default_factory=OptimConfig)
+    probe: ProbeConfig = field(default_factory=ProbeConfig)
+    parallel: ParallelConfig = field(default_factory=ParallelConfig)
+    image_hw: Tuple[int, int] = (480, 640)
+    seed: int = 0
+
+    def replace(self, **kw) -> "Config":
+        return dataclasses.replace(self, **kw)
+
+
+# ---------------------------------------------------------------------------
+# Canonical scene presets (mirroring dev_scripts; see BASELINE.json configs).
+# ---------------------------------------------------------------------------
+
+def scannet_full(scan: str = "scene0241_01") -> Config:
+    """ScanNet full pipeline: hybrid + blur-kernel bank + frame weights
+    (dev_scripts/w_scannet_etf/scene241_full.sh)."""
+    return Config(
+        name=f"{scan}_full",
+        querier=QuerierConfig(),
+        agg=AggregatorConfig(),
+        blur=BlurConfig(add_blur_sim=True),
+        loss=LossConfig(use_frame_weight=True),
+        sampling=SamplingConfig(),
+    )
+
+
+def scannet_hybrid(scan: str = "scene0241_01") -> Config:
+    """Hybrid rendering, no blur sim / frame weights (scene241_hybrid.sh)."""
+    return Config(
+        name=f"{scan}_hybrid",
+        blur=BlurConfig(add_blur_sim=False),
+        loss=LossConfig(use_frame_weight=False),
+    )
+
+
+def scannet_learnable(scan: str = "scene0101_04") -> Config:
+    """Learnable blur-kernel MLP variant (scene101_learnable-style)."""
+    return Config(
+        name=f"{scan}_learnable",
+        agg=AggregatorConfig(learnable_blur_kernel=True),
+        blur=BlurConfig(add_blur_sim=True, learnable=True),
+        loss=LossConfig(use_frame_weight=True),
+    )
+
+
+def nerf_synth_points(scene: str = "lego") -> Config:
+    """NeRF-synthetic point-only rendering (w_n360/lego_points.sh style):
+    SR=80, 60x60 random rays, no image-based fusion, no blur."""
+    return Config(
+        name=f"{scene}_points",
+        querier=QuerierConfig(
+            vsize=(0.004, 0.004, 0.004), vscale=(2, 2, 2), SR=80, K=8, P=12,
+            max_o=410_000, z_depth_dim=400,
+            ranges=(-0.721, -0.695, -0.995, 0.658, 0.706, 1.50),
+            grid_capacity=24_000_000),
+        points=PointsConfig(num_points=500_000),
+        agg=AggregatorConfig(use_nearest=0, drop_ratio=0.0),
+        render=RenderConfig(near_plane=2.0, far_plane=6.0),
+        sampling=SamplingConfig(random_sample="random", random_sample_size=60),
+        blur=BlurConfig(add_blur_sim=False),
+        image_hw=(800, 800),
+    )
+
+
+def nerf_synth_hybrid(scene: str = "chair") -> Config:
+    """NeRF-synthetic with hybrid image-based aggregation (w_n360/chair_hybrid.sh)."""
+    cfg = nerf_synth_points(scene)
+    return cfg.replace(
+        name=f"{scene}_hybrid",
+        agg=AggregatorConfig(use_nearest=4, drop_ratio=0.5),
+        sampling=SamplingConfig(random_sample="dilated", random_sample_size=56),
+    )
+
+
+def tiny_test() -> Config:
+    """Small everything — CPU-testable shapes for unit tests."""
+    return Config(
+        name="tiny",
+        querier=QuerierConfig(
+            vsize=(0.05, 0.05, 0.05), vscale=(2, 2, 2), SR=6, K=4, P=8,
+            max_o=4096, z_depth_dim=32, grid_capacity=200_000,
+            ranges=(-2.0, -2.0, -2.0, 2.0, 2.0, 2.0)),
+        points=PointsConfig(num_points=2048, feature_dim=8),
+        agg=AggregatorConfig(
+            point_features_dim=8, shading_feature_num=32, use_nearest=2,
+            num_feat_freqs=2, dist_xyz_freq=2, drop_ratio=0.5),
+        render=RenderConfig(near_plane=0.1, far_plane=4.0),
+        sampling=SamplingConfig(
+            random_sample="dilated", random_sample_size=8,
+            dilation_patch_num=2, dilation_patch_size=4, edge_filter=0),
+        blur=BlurConfig(add_blur_sim=True, blur_kernel_size=5, move_dists=(1, 2)),
+        image_hw=(48, 64),
+    )
+
+
+PRESETS = {
+    "scannet_full": scannet_full,
+    "scannet_hybrid": scannet_hybrid,
+    "scannet_learnable": scannet_learnable,
+    "nerf_synth_points": nerf_synth_points,
+    "nerf_synth_hybrid": nerf_synth_hybrid,
+    "tiny": tiny_test,
+}

@@ -1,0 +1,194 @@
+"""Deterministic voxel-grid construction over a neural point cloud.
+
+TPU-native replacement for the reference's atomic CUDA grid builder
+(/root/reference/models/neural_points/query_point_indices_worldcoords.py:237-381:
+`claim_occ` / `map_coor2occ` / `fill_occ2pnts`).  The reference claims voxels
+with `atomicCAS` and reservoir-samples points into per-voxel buckets with
+curand — parallel-safe but nondeterministic when buckets overflow.  Here the
+same tables are built with a stable sort + segment arithmetic, which is both
+deterministic and the idiomatic TPU formulation (sorts and segmented scans map
+well onto the VPU; no atomics exist on TPU anyway).
+
+Data layout (all static capacities, live counts are data):
+  - ``coor2occ``   dense [grid_capacity] int32: linear voxel id -> compact
+    occupied-voxel index (or -1).  One gather resolves a voxel.
+  - ``occ_pnts``   [max_o, P] int32: first-P point ids per occupied voxel
+    (sorted by point id — the deterministic stand-in for reservoir sampling).
+  - ``occ_numpnts``[max_o] int32: points stored per voxel (capped at P).
+  - ``occ_dilated``dense [grid_capacity] int8: occupancy dilated by the
+    query_size neighborhood (used for ray-sample culling; the reference
+    dilates inside `map_coor2occ`, worldcoords.py:299-334).
+
+Grid geometry (origin/dims) is derived from the live point AABB clipped to the
+configured ranges, exactly as `get_hyperparameters`
+(worldcoords.py:46-77) — computed on host because the dims gate a capacity
+check; the tables themselves build on device under jit.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hybridneuralrendering_tpu.config import QuerierConfig
+
+
+class GridGeometry(NamedTuple):
+    """Host-computed grid frame. Arrays so it can be donated through jit."""
+
+    origin: jnp.ndarray       # [3] f32 — world coords of voxel (0,0,0) corner
+    dims: jnp.ndarray         # [3] i32 — voxels per axis (product <= capacity)
+    vsize: jnp.ndarray        # [3] f32 — scaled (query) voxel size
+
+
+class PointGrid(NamedTuple):
+    geom: GridGeometry
+    coor2occ: jnp.ndarray     # [grid_capacity] i32, -1 = empty
+    occ_dilated: jnp.ndarray  # [grid_capacity] i8, 1 = within query_size of points
+    occ_pnts: jnp.ndarray     # [max_o, P] i32, -1 = empty slot
+    occ_numpnts: jnp.ndarray  # [max_o] i32
+    num_occ: jnp.ndarray      # [] i32 — live occupied-voxel count
+
+
+def compute_grid_geometry(xyz: np.ndarray, point_mask: np.ndarray,
+                          cfg: QuerierConfig) -> GridGeometry:
+    """AABB ∩ ranges, padded by half the dilation kernel, -> origin/dims.
+
+    Mirrors get_hyperparameters (worldcoords.py:46-77): pad by
+    scaled_vsize*kernel_size/2 each side, dims = ceil((max-min)/vsize/vscale).
+    Raises if the grid exceeds the configured linear capacity.
+    """
+    xyz = np.asarray(xyz)
+    mask = np.asarray(point_mask).astype(bool)
+    if mask.any():
+        pts = xyz[mask]
+        mn, mx = pts.min(axis=0), pts.max(axis=0)
+    else:
+        mn = np.asarray(cfg.ranges[:3], np.float32)
+        mx = np.asarray(cfg.ranges[3:], np.float32)
+    mn = np.maximum(mn, np.asarray(cfg.ranges[:3]))
+    mx = np.minimum(mx, np.asarray(cfg.ranges[3:]))
+    svsize = np.asarray(cfg.query_vsize, np.float32)
+    pad = svsize * np.asarray(cfg.kernel_size, np.float32) / 2.0
+    mn = mn.astype(np.float32) - pad
+    mx = mx.astype(np.float32) + pad
+    vdim = (mx - mn) / np.asarray(cfg.vsize, np.float32)
+    dims = np.ceil(vdim / np.asarray(cfg.vscale, np.float32)).astype(np.int32)
+    dims = np.maximum(dims, 1)
+    total = int(np.prod(dims.astype(np.int64)))
+    if total > cfg.grid_capacity:
+        raise ValueError(
+            f"voxel grid {tuple(dims)} = {total} voxels exceeds grid_capacity="
+            f"{cfg.grid_capacity}; enlarge capacity or vsize")
+    return GridGeometry(
+        origin=jnp.asarray(mn, jnp.float32),
+        dims=jnp.asarray(dims, jnp.int32),
+        vsize=jnp.asarray(svsize, jnp.float32),
+    )
+
+
+def voxel_coords(xyz: jnp.ndarray, geom: GridGeometry) -> jnp.ndarray:
+    """World position -> integer voxel coords [..., 3] (may be out of bounds)."""
+    return jnp.floor((xyz - geom.origin) / geom.vsize).astype(jnp.int32)
+
+
+def linearize(coords: jnp.ndarray, geom: GridGeometry,
+              capacity: int) -> jnp.ndarray:
+    """Voxel coords -> linear id; out-of-bounds -> `capacity` (scatter-drop /
+    gather-fill sentinel)."""
+    d = geom.dims
+    inb = jnp.all((coords >= 0) & (coords < d), axis=-1)
+    lin = (coords[..., 0] * d[1] + coords[..., 1]) * d[2] + coords[..., 2]
+    return jnp.where(inb, lin, capacity)
+
+
+def _neighbor_offsets(size3: Tuple[int, int, int]) -> np.ndarray:
+    """Integer offsets covering a centered size3 window (reference dilation loop
+    worldcoords.py:324-331: [-s/2, (s+1)/2) per axis)."""
+    offs = []
+    for s, axis in zip(size3, range(3)):
+        lo, hi = -(s // 2), (s + 1) // 2
+        offs.append(np.arange(lo, hi))
+    grid = np.stack(np.meshgrid(*offs, indexing="ij"), axis=-1).reshape(-1, 3)
+    return grid.astype(np.int32)
+
+
+def build_grid(xyz: jnp.ndarray, point_mask: jnp.ndarray, geom: GridGeometry,
+               cfg: QuerierConfig) -> PointGrid:
+    """Build all query tables from the live point cloud.  Jittable.
+
+    xyz: [N, 3] (padded capacity); point_mask: [N] bool for live points.
+    Deterministic: points sort stably by (voxel id, point id); the first P per
+    voxel fill the bucket.  Exact when buckets don't overflow — matching the
+    reference in its non-overflow regime (SURVEY §7.3).
+    """
+    N = xyz.shape[0]
+    cap = cfg.grid_capacity
+    max_o = cfg.max_o
+    P = cfg.P
+
+    coords = voxel_coords(xyz, geom)
+    vid = linearize(coords, geom, cap)                      # [N]
+    vid = jnp.where(point_mask, vid, cap)                   # masked -> sentinel
+
+    order = jnp.argsort(vid, stable=True)                   # stable: ties by pid
+    svid = vid[order]
+    spid = order.astype(jnp.int32)
+
+    valid = svid < cap
+    head = jnp.concatenate(
+        [valid[:1], (svid[1:] != svid[:-1]) & valid[1:]])   # first of each voxel
+    occ_idx = jnp.cumsum(head.astype(jnp.int32)) - 1        # [N] compact index
+    num_occ = jnp.sum(head.astype(jnp.int32))
+    in_cap = valid & (occ_idx < max_o)
+
+    # rank within voxel: position minus position of the voxel's head entry
+    pos = jnp.arange(N, dtype=jnp.int32)
+    seg_start = jax.lax.cummax(jnp.where(head, pos, -1))
+    rank = pos - seg_start
+
+    # coor2occ: head entries scatter their compact index at their voxel id
+    coor2occ = jnp.full((cap,), -1, jnp.int32)
+    coor2occ = coor2occ.at[jnp.where(head & in_cap, svid, cap)].set(
+        occ_idx, mode="drop")
+
+    # occ_pnts / occ_numpnts
+    occ_pnts = jnp.full((max_o, P), -1, jnp.int32)
+    keep = in_cap & (rank < P)
+    occ_pnts = occ_pnts.at[
+        jnp.where(keep, occ_idx, max_o), jnp.clip(rank, 0, P - 1)
+    ].set(spid, mode="drop")
+    occ_numpnts = jnp.zeros((max_o,), jnp.int32).at[
+        jnp.where(keep, occ_idx, max_o)
+    ].add(1, mode="drop")
+
+    # occ_vid -> coords of each occupied voxel, for dilation
+    occ_vid = jnp.full((max_o,), cap, jnp.int32).at[
+        jnp.where(head & in_cap, occ_idx, max_o)
+    ].set(svid, mode="drop")
+    d = geom.dims
+    occ_z = occ_vid % d[2]
+    occ_y = (occ_vid // d[2]) % d[1]
+    occ_x = occ_vid // (d[1] * d[2])
+    occ_coords = jnp.stack([occ_x, occ_y, occ_z], axis=-1)  # [max_o, 3]
+    occ_live = occ_vid < cap
+
+    # dilated occupancy: scatter 1 at every query_size-neighborhood voxel
+    offsets = jnp.asarray(_neighbor_offsets(cfg.query_size))  # [Q, 3]
+
+    def scatter_offset(occ_d, off):
+        nb = occ_coords + off[None, :]
+        nb_lin = linearize(nb, geom, cap)
+        nb_lin = jnp.where(occ_live, nb_lin, cap)
+        return occ_d.at[nb_lin].set(jnp.int8(1), mode="drop"), None
+
+    occ_dilated = jnp.zeros((cap,), jnp.int8)
+    occ_dilated, _ = jax.lax.scan(scatter_offset, occ_dilated, offsets)
+
+    return PointGrid(
+        geom=geom, coor2occ=coor2occ, occ_dilated=occ_dilated,
+        occ_pnts=occ_pnts, occ_numpnts=occ_numpnts,
+        num_occ=jnp.minimum(num_occ, max_o))
