@@ -127,6 +127,8 @@ class AggregatorConfig:
     agg_feat_xyz_mode: str = "None"
     agg_alpha_xyz_mode: str = "None"
     agg_color_xyz_mode: str = "None"
+    point_color_mode: str = "1"   # '1': per-point color feeds block3
+    point_dir_mode: str = "1"     # '1': per-point dir-delta feeds block3
 
     # Hybrid rendering (image-based branch).
     use_nearest: int = 4                  # number of nearby training views fused
@@ -378,7 +380,7 @@ def tiny_test() -> Config:
             ranges=(-2.0, -2.0, -2.0, 2.0, 2.0, 2.0)),
         points=PointsConfig(num_points=2048, feature_dim=8),
         agg=AggregatorConfig(
-            point_features_dim=8, shading_feature_num=32, use_nearest=2,
+            point_features_dim=8, shading_feature_num=128, use_nearest=2,
             num_feat_freqs=2, dist_xyz_freq=2, drop_ratio=0.5),
         render=RenderConfig(near_plane=0.1, far_plane=4.0),
         sampling=SamplingConfig(

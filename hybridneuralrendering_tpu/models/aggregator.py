@@ -1,0 +1,394 @@
+"""The viewmlp point aggregator with hybrid image-feature fusion.
+
+TPU-native re-design of /root/reference/models/aggregators/point_aggregators.py
+(viewmlp_init :484-751, forward :1427-1523, viewmlp :892-1344).  Differences
+from the reference, all deliberate:
+
+  - Dense masked compute: the reference compacts valid neighbors into a
+    [valid_pts, F] matrix per step (dynamic shapes); here every MLP runs over
+    the full [R*SR*K, F] block with `pnt_mask` zeroing — static shapes mean one
+    XLA executable and full MXU utilization.
+  - The train-time image-feature drop (point_aggregators.py:1099-1135,
+    1222-1255) becomes a pure function of the ray layout: the reference's
+    `drop_patch_rays` deterministically drops the first ⌊num_patches*ratio⌋
+    patches (the randomness comes from the patches' random image placement).
+  - RNG is an explicit key; no host numpy in the hot path (the reference's
+    pixel gather bounced through .cpu().numpy(), :1092-1096).
+
+Distance kernels (:759-846) and the straight-through confidence clamp (:1420-
+1424) are numerically exact ports.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hybridneuralrendering_tpu.config import AggregatorConfig
+from hybridneuralrendering_tpu.core.cameras import pers_delta
+from hybridneuralrendering_tpu.core.encoding import positional_encoding
+from hybridneuralrendering_tpu.models import feature_pyramid, mlp
+
+
+# ---------------------------------------------------------------------------
+# Distance kernels (point_aggregators.py:759-846)
+# ---------------------------------------------------------------------------
+
+def dist_weight(name: str, dists: jnp.ndarray, pnt_mask: jnp.ndarray,
+                axis_weight=None) -> jnp.ndarray:
+    """dists: [R, SR, K, C]; pnt_mask: [R, SR, K] -> weights [R, SR, K]."""
+    m = pnt_mask.astype(dists.dtype)
+    if name == "linear":
+        w = 1.0 / jnp.maximum(
+            jnp.linalg.norm(dists[..., :3], axis=-1), 1e-6)
+        return m * w
+    if name == "numlinear":
+        w = m / jnp.maximum(jnp.linalg.norm(dists, axis=-1), 1e-6)
+        return w / jnp.maximum(jnp.sum(m, axis=-1, keepdims=True), 1.0)
+    if name == "quadric":
+        return m / jnp.maximum(
+            jnp.sum(jnp.square(dists[..., :3]), axis=-1), 1e-8)
+    if name == "numquadric":
+        return m / jnp.maximum(jnp.sum(jnp.square(dists), axis=-1), 1e-8)
+    if name == "avg":
+        return m
+    raise KeyError(f"unknown distance kernel {name}")
+
+
+def gradient_clamp(conf: jnp.ndarray, lo=0.0001, hi=1.0) -> jnp.ndarray:
+    """Straight-through clamp: clamped value forward, identity gradient
+    (point_aggregators.py:1420-1424)."""
+    diff = conf - jnp.clip(conf, lo, hi)
+    return conf - jax.lax.stop_gradient(diff)
+
+
+def raw2density(raw: jnp.ndarray, act_super: bool) -> jnp.ndarray:
+    if act_super:
+        return jax.nn.softplus(raw - 1.0)
+    return jax.nn.relu(raw)
+
+
+def raw2color(raw: jnp.ndarray, act_super: bool) -> jnp.ndarray:
+    c = jax.nn.sigmoid(raw)
+    if act_super:
+        c = c * (1 + 2 * 0.001) - 0.001
+    return c
+
+
+# ---------------------------------------------------------------------------
+# Parameter init (viewmlp_init, point_aggregators.py:484-751)
+# ---------------------------------------------------------------------------
+
+def block1_in_dim(cfg: AggregatorConfig) -> int:
+    dist_xyz_dim = (cfg.dist_dim if cfg.dist_xyz_freq == 0
+                    else 2 * abs(cfg.dist_xyz_freq) * cfg.dist_dim)
+    in_ch = cfg.point_features_dim
+    in_ch += 2 * cfg.num_feat_freqs * in_ch if cfg.num_feat_freqs > 0 else 0
+    in_ch += dist_xyz_dim if cfg.agg_intrp_order > 0 else 0
+    return in_ch
+
+
+def viewdir_channels(cfg: AggregatorConfig) -> int:
+    return 2 * cfg.num_viewdir_freqs * 3 if cfg.num_viewdir_freqs > 0 else 3
+
+
+def init(key, cfg: AggregatorConfig) -> Dict:
+    keys = jax.random.split(key, 12)
+    act = cfg.act_type
+    F = cfg.shading_feature_num
+    half = F // 2
+    aux_c = cfg.aux_feature_channels
+    params: Dict = {}
+
+    if cfg.shading_feature_mlp_layer1 > 0:
+        dims = [block1_in_dim(cfg)] + [F] * cfg.shading_feature_mlp_layer1
+        params["block1"] = mlp.mlp_init(keys[0], dims, act, final_act=True)
+    if cfg.shading_feature_mlp_layer2 > 0:
+        dims = [F] + [F] * cfg.shading_feature_mlp_layer2
+        params["block2"] = mlp.mlp_init(keys[1], dims, act, final_act=True)
+    if cfg.shading_feature_mlp_layer3 > 0:
+        in3 = F + (3 if "1" in cfg.point_color_mode else 0) + (
+            4 if "1" in cfg.point_dir_mode else 0)
+        dims = [in3] + [F] * cfg.shading_feature_mlp_layer3
+        params["block3"] = mlp.mlp_init(keys[2], dims, act, final_act=True)
+
+    # alpha head: (layer-1) hidden of width F/2, final Linear(·, 1)
+    a_dims = [F] + [half] * (cfg.shading_alpha_mlp_layer - 1) + [1]
+    params["alpha"] = mlp.mlp_init(keys[3], a_dims, act)
+
+    # color branch (full RGB head, kept for point-only mode parity)
+    c_in = F + viewdir_channels(cfg)
+    c_dims = [c_in] + [half] * (cfg.shading_color_mlp_layer - 1) + [3]
+    params["color"] = mlp.mlp_init(keys[4], c_dims, act)
+
+    # color-feature branch: Linear+act pairs only (no head), output F/2
+    cf_dims = [c_in] + [half] * (cfg.shading_color_mlp_layer - 1)
+    params["color_feature"] = mlp.mlp_init(keys[5], cf_dims, act,
+                                           final_act=True)
+
+    if cfg.use_nearest >= 0:
+        # fusion-weight MLP over [img_feat, 3D feat, delta viewdir]
+        fin = aux_c + half + (3 if cfg.use_delta_view else 0)
+        fdims = [fin, half // 2, half // 2, half // 2, 1]
+        params["fusion_weight"] = mlp.mlp_init(keys[6], fdims, act)
+        params["pyramid"] = feature_pyramid.init(
+            keys[7], act, in_ch=3 + (2 if cfg.add_idx else 0))
+
+    # mixup block
+    if cfg.mixup_mode == "partial":
+        # reference asserts F/2 > aux channels (point_aggregators.py:637)
+        assert half > aux_c, (
+            f"partial mixup needs shading_feature_num/2 ({half}) > "
+            f"aux channels ({aux_c})")
+        mix_in, mix_out = 2 * aux_c, aux_c
+    else:
+        mix_in, mix_out = half + aux_c, half
+    if cfg.dynamic_weight:
+        mdims = [mix_in, mix_out, mix_out, mix_out, 1]
+    else:
+        mdims = [mix_in, mix_out, mix_out, mix_out]
+    # reference: learn_residuals variant ends without activation; plain variant
+    # keeps a trailing activation — handled in apply
+    params["mixup"] = mlp.mlp_init(keys[8], mdims, act,
+                                   final_act=not cfg.learn_residuals
+                                   and not cfg.dynamic_weight)
+
+    final_in = half if cfg.feature_guidance else aux_c
+    if cfg.large_color_final_block:
+        params["color_final"] = mlp.mlp_init(
+            keys[9], [final_in, final_in, 3], act)
+    else:
+        params["color_final"] = mlp.mlp_init(keys[9], [final_in, 3], act)
+    if cfg.separate_color_decoder:
+        params["color_final_2"] = mlp.mlp_init(keys[10], [final_in, 3], act)
+
+    if cfg.learnable_blur_kernel:
+        bin_ = 2 * cfg.learnable_blur_patch_size ** 2
+        bout = cfg.learnable_blur_kernel_size ** 2
+        if cfg.learnable_blur_kernel_mode in (2, 4):
+            bout += 1
+        params["blur_kernel"] = mlp.mlp_init(
+            keys[11], [bin_, 128, 128, 128, bout], act)
+    return params
+
+
+class AggOutput(NamedTuple):
+    features: jnp.ndarray          # [R, SR, 1+3] (sigma, rgb)
+    ray_valid: jnp.ndarray         # [R, SR] bool
+    weight: jnp.ndarray            # [R, SR, K]
+    conf_coefficient: jnp.ndarray  # [R, SR, K]
+
+
+def build_dists(cfg: AggregatorConfig, sampled_xyz, sampled_xyz_pers,
+                sample_loc, sample_loc_w, sample_ray_dirs) -> jnp.ndarray:
+    """agg_dist_pers dispatch (point_aggregators.py:1447-1495)."""
+    p = cfg.agg_dist_pers
+    wd = sampled_xyz - sample_loc_w[..., None, :]
+    if p == 0:
+        return wd
+    if p == 1:
+        return sampled_xyz_pers - sample_loc[..., None, :]
+    if p == 2:
+        return pers_delta(sampled_xyz_pers, sample_loc)
+    if p == 10:
+        return jnp.concatenate(
+            [wd, sampled_xyz_pers - sample_loc[..., None, :]], axis=-1)
+    if p == 20:
+        return jnp.concatenate(
+            [wd, pers_delta(sampled_xyz_pers, sample_loc)], axis=-1)
+    if p == 30:
+        proj = jnp.sum(wd * sample_ray_dirs[..., None, :], axis=-1,
+                       keepdims=True)
+        return jnp.concatenate([proj, wd], axis=-1)
+    raise ValueError(f"illegal agg_dist_pers {p}")
+
+
+def drop_ray_mask(cfg: AggregatorConfig, num_rays: int, patch_num: int,
+                  patch_size: int) -> np.ndarray:
+    """Rays whose image features are dropped during training.
+
+    Port of drop_patch_rays (point_aggregators.py:14-23): with patch layout
+    [patch_num*patch_size]^2 row-major, zero the first
+    ⌊patch_num²*ratio⌋ patches.  Returns a static bool [num_rays] mask."""
+    if cfg.drop_ratio <= 0:
+        return np.zeros(num_rays, bool)
+    side = patch_num * patch_size
+    if cfg.drop_patch and side * side == num_rays:
+        flag = np.zeros((side, side), bool)
+        n_drop = int(patch_num * patch_num * cfg.drop_ratio)
+        row, col = n_drop // patch_num, n_drop % patch_num
+        flag[: row * patch_size, :] = True
+        flag[row * patch_size: (row + 1) * patch_size, : col * patch_size] = True
+        return flag.reshape(-1)
+    flag = np.zeros(num_rays, bool)
+    flag[: int(num_rays * cfg.drop_ratio)] = True
+    return flag
+
+
+def apply(params: Dict, cfg: AggregatorConfig, *,
+          sampled_xyz, sampled_xyz_pers, sampled_embedding, sampled_color,
+          sampled_dir, sampled_conf, pnt_mask, sample_loc, sample_loc_w,
+          sample_ray_dirs, vsize,
+          img_feat_n: Optional[jnp.ndarray] = None,
+          sample_loc_i_n: Optional[jnp.ndarray] = None,
+          delta_viewdir_n: Optional[jnp.ndarray] = None,
+          frame_weight_n: Optional[jnp.ndarray] = None,
+          drop_mask: Optional[jnp.ndarray] = None,
+          train: bool = False) -> AggOutput:
+    """Shade all [R, SR] samples from their K gathered neighbors.
+
+    img_feat_n: [V, H, W, 45] precomputed pyramid features of nearest views
+    (cache-friendly split from the CNN — see feature_pyramid.apply).
+    sample_loc_i_n: [V, R, SR, 2] reprojected pixel positions.
+    drop_mask: [R] bool — rays whose image features are dropped (train only).
+    """
+    R, SR, K, _ = sampled_xyz.shape
+    f32 = sampled_xyz.dtype
+
+    ray_valid = jnp.any(pnt_mask, axis=-1)                       # [R, SR]
+    dists = build_dists(cfg, sampled_xyz, sampled_xyz_pers, sample_loc,
+                        sample_loc_w, sample_ray_dirs)           # [R,SR,K,C]
+    dists = dists * pnt_mask[..., None].astype(f32)
+
+    weight = dist_weight(cfg.agg_distance_kernel, dists, pnt_mask)
+    if (cfg.agg_weight_norm and cfg.agg_distance_kernel != "trilinear"
+            and not cfg.agg_distance_kernel.startswith("num")):
+        weight = weight / jnp.maximum(
+            jnp.sum(weight, axis=-1, keepdims=True), 1e-8)
+
+    conf_coefficient = gradient_clamp(sampled_conf[..., 0])      # [R, SR, K]
+    w = (weight * conf_coefficient)[..., None]                   # [R, SR, K, 1]
+
+    # ---- per-neighbor feature MLP (block1 [+ block3]) ----
+    dists_flat = dists
+    if cfg.dist_xyz_deno > 0:
+        dists_flat = dists_flat / (
+            cfg.dist_xyz_deno * float(np.linalg.norm(vsize)))
+    if cfg.dist_xyz_freq != 0:
+        dists_enc = positional_encoding(dists_flat, abs(cfg.dist_xyz_freq))
+    else:
+        dists_enc = dists_flat
+    feat = sampled_embedding
+    if cfg.num_feat_freqs > 0:
+        feat = jnp.concatenate(
+            [feat, positional_encoding(feat, cfg.num_feat_freqs)], axis=-1)
+    feat = jnp.concatenate([feat, dists_enc], axis=-1)
+
+    feat = mlp.mlp_apply(params["block1"], feat, cfg.act_type, final_act=True)
+    if cfg.shading_feature_mlp_layer2 > 0:
+        feat = mlp.mlp_apply(params["block2"], feat, cfg.act_type,
+                             final_act=True)
+
+    # viewdirs: PE with raw prefix; ori part feeds the dir-delta features
+    vdirs = positional_encoding(sample_ray_dirs, cfg.num_viewdir_freqs,
+                                ori=True)
+    ori_viewdirs, vdirs_enc = vdirs[..., :3], vdirs[..., 3:]     # [R,SR,·]
+
+    if cfg.shading_feature_mlp_layer3 > 0:
+        parts = [feat]
+        if "1" in cfg.point_color_mode:
+            parts.append(sampled_color)
+        if "1" in cfg.point_dir_mode:
+            dir_delta = sampled_dir - ori_viewdirs[..., None, :]
+            dir_dot = jnp.sum(sampled_dir * ori_viewdirs[..., None, :],
+                              axis=-1, keepdims=True)
+            parts += [dir_delta, dir_dot]
+        feat = mlp.mlp_apply(params["block3"],
+                             jnp.concatenate(parts, axis=-1),
+                             cfg.act_type, final_act=True)
+
+    mask_f = pnt_mask[..., None].astype(f32)
+    # per-neighbor alpha, aggregated with conf-scaled weights (order 2)
+    alpha_pnt = raw2density(
+        mlp.mlp_apply(params["alpha"], feat, cfg.act_type), cfg.act_super)
+    alpha = jnp.sum(alpha_pnt * mask_f * w, axis=-2)             # [R, SR, 1]
+    feat_agg = jnp.sum(feat * mask_f * w, axis=-2)               # [R, SR, F]
+
+    # ---- 3D color-feature branch ----
+    vd = jnp.zeros_like(vdirs_enc) if cfg.disable_viewdirs else vdirs_enc
+    color_in = jnp.concatenate([feat_agg, vd], axis=-1)
+    color_feature = mlp.mlp_apply(params["color_feature"], color_in,
+                                  cfg.act_type, final_act=True)  # [R,SR,half]
+    if cfg.disable_color_feature:
+        color_feature = color_feature * 0.0
+
+    aux_c = cfg.aux_feature_channels
+    use_nearest = cfg.use_nearest if img_feat_n is not None else 0
+    if use_nearest > 0:
+        V, H, W, _ = img_feat_n.shape
+        px = sample_loc_i_n[..., 0].astype(jnp.int32)            # [V, R, SR]
+        py = sample_loc_i_n[..., 1].astype(jnp.int32)
+        valid = ((px >= 0) & (px < W) & (py >= 0) & (py < H))
+        pxc, pyc = jnp.clip(px, 0, W - 1), jnp.clip(py, 0, H - 1)
+        vidx = jnp.arange(V)[:, None, None]
+        img_feat = img_feat_n[vidx, pyc, pxc]                    # [V,R,SR,45]
+        img_feat = img_feat * valid[..., None].astype(f32)
+
+        fw_in = [img_feat,
+                 jnp.broadcast_to(color_feature[None], (V, R, SR,
+                                                        color_feature.shape[-1]))]
+        if cfg.use_delta_view:
+            fw_in.append(delta_viewdir_n)
+        fusion_w = jax.nn.sigmoid(mlp.mlp_apply(
+            params["fusion_weight"], jnp.concatenate(fw_in, axis=-1),
+            cfg.act_type))                                        # [V,R,SR,1]
+        fusion_w = fusion_w * valid[..., None].astype(f32)
+        if cfg.downweight_blurry_feats and frame_weight_n is not None:
+            fusion_w = fusion_w * frame_weight_n[:, None, None, None]
+        merged = jnp.sum(img_feat * fusion_w, axis=0) / (
+            jnp.sum(fusion_w, axis=0) + 1e-6)                     # [R,SR,45]
+
+        if train and drop_mask is not None:
+            merged = merged * (1.0 - drop_mask[:, None, None].astype(f32))
+    else:
+        merged = jnp.zeros(color_feature.shape[:-1] + (aux_c,), f32)
+
+    # ---- mixup: fuse 3D + image features ----
+    if cfg.mixup_mode == "partial":
+        intrinsic = color_feature[..., :aux_c]
+        view_part = color_feature[..., aux_c:]
+        mix_in = jnp.concatenate([intrinsic, merged], axis=-1)
+        if cfg.dynamic_weight:
+            bw = jax.nn.sigmoid(mlp.mlp_apply(params["mixup"], mix_in,
+                                              cfg.act_type))
+            mixed = (1 - bw) * intrinsic + bw * merged
+        else:
+            mixed = mlp.mlp_apply(params["mixup"], mix_in, cfg.act_type,
+                                  final_act=not cfg.learn_residuals)
+        if cfg.learn_residuals:
+            mixed = mixed + intrinsic
+        color_feature_mix = jnp.concatenate([mixed, view_part], axis=-1)
+    else:
+        mix_in = jnp.concatenate([color_feature, merged], axis=-1)
+        if cfg.dynamic_weight:
+            bw = jax.nn.sigmoid(mlp.mlp_apply(params["mixup"], mix_in,
+                                              cfg.act_type))
+            color_feature_mix = (1 - bw) * color_feature + bw * merged
+        else:
+            color_feature_mix = mlp.mlp_apply(
+                params["mixup"], mix_in, cfg.act_type,
+                final_act=not cfg.learn_residuals)
+        if cfg.learn_residuals:
+            color_feature_mix = color_feature_mix + color_feature
+
+    if cfg.separate_color_decoder and train and drop_mask is not None:
+        rgb_mix = raw2color(mlp.mlp_apply(params["color_final"],
+                                          color_feature_mix, cfg.act_type),
+                            cfg.act_super)
+        rgb_pnt = raw2color(mlp.mlp_apply(params["color_final_2"],
+                                          color_feature, cfg.act_type),
+                            cfg.act_super)
+        dm = drop_mask[:, None, None].astype(f32)
+        rgb = rgb_pnt * dm + rgb_mix * (1 - dm)
+    else:
+        rgb = raw2color(mlp.mlp_apply(params["color_final"],
+                                      color_feature_mix, cfg.act_type),
+                        cfg.act_super)
+
+    out = jnp.concatenate([alpha, rgb], axis=-1)                 # [R, SR, 4]
+    out = out * ray_valid[..., None].astype(f32)
+    return AggOutput(features=out, ray_valid=ray_valid, weight=weight,
+                     conf_coefficient=conf_coefficient)

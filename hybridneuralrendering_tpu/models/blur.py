@@ -1,0 +1,220 @@
+"""Blur-aware training: degrade rendered patches before the loss.
+
+TPU-native rewrite of the reference blur module:
+  - linear-motion kernel bank generation
+    (/root/reference/data/scannet_ft_dataset.py:184-242) — pure numpy with an
+    explicit bilinear rotation (the reference used imutils/cv2);
+  - pre-defined-kernel simulation: convolve each rendered patch with every
+    kernel (mask-normalized borders), pick the argmin-L1 kernel per patch
+    (/root/reference/models/base_rendering_model.py:677-825);
+  - learnable-kernel simulation: an MLP predicts a k×k kernel per patch from
+    the gray GT+render patches, with identity mixing (mode 4) and three
+    boundary modes (/root/reference/models/base_rendering_model.py:827-1018).
+
+Everything runs as one batched conv over [patches*channels] — grouped per-patch
+convs in the reference become a single `conv_general_dilated` with feature
+groups, which XLA maps straight onto the MXU.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hybridneuralrendering_tpu.config import AggregatorConfig, BlurConfig
+from hybridneuralrendering_tpu.models import mlp
+
+
+# ---------------------------------------------------------------------------
+# Kernel bank (scannet_ft_dataset.py:184-242)
+# ---------------------------------------------------------------------------
+
+def _rotate_bilinear(img: np.ndarray, angle_deg: float) -> np.ndarray:
+    """Rotate a small 2D array counterclockwise about its center, bilinear,
+    zero padding — matching imutils.rotate/cv2.warpAffine semantics."""
+    h, w = img.shape
+    cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
+    a = np.deg2rad(angle_deg)
+    cos_a, sin_a = np.cos(a), np.sin(a)
+    ys, xs = np.mgrid[0:h, 0:w].astype(np.float64)
+    # inverse map: rotate output coords by -angle around center
+    x0 = cos_a * (xs - cx) - sin_a * (ys - cy) + cx
+    y0 = sin_a * (xs - cx) + cos_a * (ys - cy) + cy
+    x_f, y_f = np.floor(x0).astype(int), np.floor(y0).astype(int)
+    dx, dy = x0 - x_f, y0 - y_f
+
+    def sample(yy, xx):
+        ok = (yy >= 0) & (yy < h) & (xx >= 0) & (xx < w)
+        v = np.zeros_like(img, dtype=np.float64)
+        v[ok] = img[yy[ok], xx[ok]]
+        return v
+
+    out = (sample(y_f, x_f) * (1 - dx) * (1 - dy)
+           + sample(y_f, x_f + 1) * dx * (1 - dy)
+           + sample(y_f + 1, x_f) * (1 - dx) * dy
+           + sample(y_f + 1, x_f + 1) * dx * dy)
+    return out
+
+
+def generate_kernel_bank(cfg: BlurConfig) -> np.ndarray:
+    """[num_kernels, k, k] normalized linear-motion kernels.
+
+    v1 (asymmetric): a dist-long streak ending at center, rotated over
+    `num_move_dirs` directions; v2 (symmetric): a (2*dist+1) streak through
+    center over half the directions.  Zeroed entirely if blur sim is off
+    (scannet_ft_dataset.py:161-164)."""
+    k = cfg.blur_kernel_size
+    c = k // 2
+    kernels = []
+
+    def add(base: np.ndarray, dirs):
+        for ang in dirs:
+            rot = _rotate_bilinear(base, ang)
+            s = rot.sum()
+            kernels.append(rot / s if s > 0 else rot)
+
+    n_dir = cfg.num_move_dirs
+    dirs_full = list(np.linspace(0, 360, n_dir + 1)[:n_dir])
+    dirs_half = list(np.linspace(0, 360, n_dir + 1)[: n_dir // 2])
+    if cfg.blur_kernel_version in (1, 3):
+        for dist in cfg.move_dists:
+            base = np.zeros((k, k))
+            base[c - dist: c + 1, c] = 255.0
+            add(base, dirs_full)
+    if cfg.blur_kernel_version in (2, 3):
+        for dist in cfg.move_dists:
+            base = np.zeros((k, k))
+            base[c - dist: c + dist + 1, c] = 255.0
+            add(base, dirs_half)
+    bank = np.stack(kernels).astype(np.float32)
+    if not cfg.add_blur_sim:
+        bank = bank * 0.0
+    return bank
+
+
+# ---------------------------------------------------------------------------
+# Patch plumbing
+# ---------------------------------------------------------------------------
+
+def to_patches(img_flat: jnp.ndarray, patch_num: int,
+               patch_size: int) -> jnp.ndarray:
+    """[R, 3] ray colors (row-major over the sample grid) -> [P², ps, ps, 3]."""
+    s = patch_num * patch_size
+    img = img_flat.reshape(s, s, 3)
+    img = img.reshape(patch_num, patch_size, patch_num, patch_size, 3)
+    return img.transpose(0, 2, 1, 3, 4).reshape(
+        patch_num * patch_num, patch_size, patch_size, 3)
+
+
+def from_patches(patches: jnp.ndarray, patch_num: int,
+                 patch_size: int) -> jnp.ndarray:
+    """Inverse of :func:`to_patches` -> [R, 3]."""
+    p = patches.reshape(patch_num, patch_num, patch_size, patch_size, 3)
+    img = p.transpose(0, 2, 1, 3, 4).reshape(
+        patch_num * patch_size, patch_num * patch_size, 3)
+    return img.reshape(-1, 3)
+
+
+def _conv_same(x: jnp.ndarray, kernels: jnp.ndarray,
+               groups: int = 1) -> jnp.ndarray:
+    """x: [B, H, W, Cin]; kernels: [k, k, Cin/groups, Cout] -> [B, H, W, Cout]
+    with zero 'SAME' padding (torch F.conv2d pad=k//2 equivalent for odd k)."""
+    return jax.lax.conv_general_dilated(
+        x, kernels, (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=groups)
+
+
+# ---------------------------------------------------------------------------
+# Pre-defined kernel simulation (base_rendering_model.py:677-825)
+# ---------------------------------------------------------------------------
+
+def blur_bank_update(rendered: jnp.ndarray, gt: jnp.ndarray,
+                     kernels: jnp.ndarray, patch_num: int,
+                     patch_size: int) -> jnp.ndarray:
+    """Degrade `rendered` [R,3] by the best-matching bank kernel per patch.
+
+    Candidates are every bank kernel (mask-normalized against zero padding)
+    plus the identity; selection is argmin of per-patch L1 distance to GT
+    (kernel choice is a hard, non-differentiable select — gradients flow
+    through the chosen linear convolution, as in the reference)."""
+    N = kernels.shape[0]
+    rp = to_patches(rendered, patch_num, patch_size)      # [P, ps, ps, 3]
+    gp = to_patches(gt, patch_num, patch_size)
+    P = rp.shape[0]
+
+    x = rp.transpose(0, 3, 1, 2).reshape(P * 3, patch_size, patch_size, 1)
+    kern = kernels.transpose(1, 2, 0)[:, :, None, :]      # [k, k, 1, N]
+    ones = jnp.ones_like(x)
+    norm = _conv_same(ones, kern)                         # [P*3, ps, ps, N]
+    blurred = _conv_same(x, kern) / norm
+    # [P, 3, ps, ps, N+1] candidates (bank + identity)
+    cand = jnp.concatenate(
+        [blurred.reshape(P, 3, patch_size, patch_size, N),
+         x.reshape(P, 3, patch_size, patch_size, 1)], axis=-1)
+    diff = jnp.sum(jnp.abs(cand - gp.transpose(0, 3, 1, 2)[..., None]),
+                   axis=(1, 2, 3))                        # [P, N+1]
+    sel = jnp.argmin(diff, axis=-1)                       # [P]
+    best = jnp.take_along_axis(
+        cand, sel[:, None, None, None, None], axis=-1)[..., 0]
+    best = best.transpose(0, 2, 3, 1)                     # [P, ps, ps, 3]
+    return from_patches(best, patch_num, patch_size)
+
+
+# ---------------------------------------------------------------------------
+# Learnable kernel simulation (base_rendering_model.py:827-1018)
+# ---------------------------------------------------------------------------
+
+def learnable_blur_update(params: Dict, cfg: AggregatorConfig,
+                          rendered: jnp.ndarray, gt: jnp.ndarray,
+                          patch_num: int, patch_size: int) -> jnp.ndarray:
+    """Degrade `rendered` with per-patch MLP-predicted kernels."""
+    K = cfg.learnable_blur_kernel_size
+    rp = to_patches(rendered, patch_num, patch_size)      # [P, ps, ps, 3]
+    gp = to_patches(gt, patch_num, patch_size)
+    P = rp.shape[0]
+
+    gt_gray = jnp.mean(gp, axis=-1).reshape(P, -1)
+    out_gray = jnp.mean(rp, axis=-1).reshape(P, -1)
+    pred = jax.nn.sigmoid(mlp.mlp_apply(
+        params["blur_kernel"], jnp.concatenate([gt_gray, out_gray], axis=-1),
+        cfg.act_type))                                    # [P, K*K(+1)]
+
+    if cfg.learnable_blur_kernel_norm == 0:
+        kern = pred[:, : K * K].reshape(P, K, K)
+        kern = kern / jnp.sum(kern, axis=(1, 2), keepdims=True)
+    else:
+        kern = jax.nn.softmax(pred[:, : K * K], axis=-1).reshape(P, K, K)
+
+    if cfg.learnable_blur_kernel_mode == 4:
+        wmix = pred[:, -1][:, None, None]
+        ident = jnp.zeros((P, K, K)).at[:, K // 2, K // 2].set(1.0)
+        kern = wmix * kern + (1.0 - wmix) * ident
+        kern = kern / jnp.sum(kern, axis=(1, 2), keepdims=True)
+
+    # grouped conv: each patch is its own group across the 3 channels
+    x = rp.transpose(0, 3, 1, 2).reshape(1, P * 3, patch_size, patch_size)
+    x = x.transpose(0, 2, 3, 1)                           # [1, ps, ps, P*3]
+    kflat = jnp.repeat(kern, 3, axis=0)                   # [P*3, K, K]
+    kern_g = kflat.transpose(1, 2, 0)[:, :, None, :]      # [K, K, 1, P*3]
+    ones = jnp.ones_like(x)
+    conv = _conv_same(x, kern_g, groups=P * 3)
+    if cfg.boundary_mode == 0:
+        mask_out = _conv_same(ones, kern_g, groups=P * 3)
+        blurred = conv / (mask_out + 1e-10)
+    elif cfg.boundary_mode == 1:
+        mask_out = _conv_same(ones, kern_g, groups=P * 3)
+        blurred = conv + (1.0 - mask_out) * x
+    elif cfg.boundary_mode == 2:
+        kern_det = jax.lax.stop_gradient(kern_g)
+        mask_out = _conv_same(ones, kern_det, groups=P * 3)
+        blurred = conv + (1.0 - mask_out) * x
+    else:
+        raise NotImplementedError(f"boundary_mode {cfg.boundary_mode}")
+
+    blurred = blurred.transpose(0, 3, 1, 2).reshape(
+        P, 3, patch_size, patch_size).transpose(0, 2, 3, 1)
+    return from_patches(blurred, patch_num, patch_size)

@@ -1,0 +1,109 @@
+"""Parameter-pytree MLP/conv building blocks.
+
+Functional equivalents of the reference's `nn.Sequential` stacks with
+`init_seq` xavier-uniform initialization (reference
+models/helpers/networks.py:163-172): hidden layers preceding an activation get
+the activation's gain; the final layer gets gain 1.  Params are plain nested
+dicts so they compose with optax/pjit without framework magic.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable, Dict, List, Sequence
+
+import jax
+import jax.numpy as jnp
+
+
+LEAKY_SLOPE = 0.01  # torch nn.LeakyReLU default
+
+
+def activation(name: str) -> Callable[[jnp.ndarray], jnp.ndarray]:
+    if name == "leaky_relu":
+        return lambda x: jax.nn.leaky_relu(x, LEAKY_SLOPE)
+    if name == "relu":
+        return jax.nn.relu
+    if name == "sigmoid":
+        return jax.nn.sigmoid
+    if name == "tanh":
+        return jnp.tanh
+    raise KeyError(f"unknown activation {name}")
+
+
+def _gain(act: str) -> float:
+    # torch.nn.init.calculate_gain equivalents
+    if act == "relu":
+        return math.sqrt(2.0)
+    if act == "leaky_relu":
+        return math.sqrt(2.0 / (1.0 + LEAKY_SLOPE ** 2))
+    return 1.0
+
+
+def xavier_uniform(key, shape, fan_in, fan_out, gain=1.0, dtype=jnp.float32):
+    limit = gain * math.sqrt(6.0 / (fan_in + fan_out))
+    return jax.random.uniform(key, shape, dtype, -limit, limit)
+
+
+def linear_init(key, in_dim: int, out_dim: int, gain: float = 1.0) -> Dict:
+    kw, kb = jax.random.split(key)
+    w = xavier_uniform(kw, (in_dim, out_dim), in_dim, out_dim, gain)
+    # torch Linear bias init: U(-1/sqrt(fan_in), 1/sqrt(fan_in))
+    bound = 1.0 / math.sqrt(in_dim)
+    b = jax.random.uniform(kb, (out_dim,), jnp.float32, -bound, bound)
+    return {"w": w, "b": b}
+
+
+def linear_apply(p: Dict, x: jnp.ndarray) -> jnp.ndarray:
+    return x @ p["w"] + p["b"]
+
+
+def mlp_init(key, dims: Sequence[int], act: str,
+             final_act: bool = False) -> List[Dict]:
+    """Stack of Linear layers; activation after each except (optionally) last.
+
+    Matches init_seq: layers followed by an activation get the activation gain,
+    the last layer gets gain 1 when `final_act` is False.
+    """
+    layers = []
+    keys = jax.random.split(key, len(dims) - 1)
+    for i, (a, b) in enumerate(zip(dims[:-1], dims[1:])):
+        has_act = final_act or i < len(dims) - 2
+        layers.append(linear_init(keys[i], a, b, _gain(act) if has_act else 1.0))
+    return layers
+
+
+def mlp_apply(layers: List[Dict], x: jnp.ndarray, act: str,
+              final_act: bool = False) -> jnp.ndarray:
+    fn = activation(act)
+    n = len(layers)
+    for i, p in enumerate(layers):
+        x = linear_apply(p, x)
+        if final_act or i < n - 1:
+            x = fn(x)
+    return x
+
+
+def conv2d_init(key, in_ch: int, out_ch: int, ksize: int,
+                gain: float = 1.0) -> Dict:
+    kw, kb = jax.random.split(key)
+    fan_in = in_ch * ksize * ksize
+    fan_out = out_ch * ksize * ksize
+    w = xavier_uniform(kw, (ksize, ksize, in_ch, out_ch), fan_in, fan_out, gain)
+    bound = 1.0 / math.sqrt(fan_in)
+    b = jax.random.uniform(kb, (out_ch,), jnp.float32, -bound, bound)
+    return {"w": w, "b": b}
+
+
+def conv2d_apply(p: Dict, x: jnp.ndarray, stride: int = 1,
+                 padding: str = "SAME") -> jnp.ndarray:
+    """x: [B, H, W, C] (NHWC — the TPU-native conv layout)."""
+    out = jax.lax.conv_general_dilated(
+        x, p["w"], window_strides=(stride, stride), padding=padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    return out + p["b"]
+
+
+def bilinear_resize(x: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
+    """[B, H, W, C] -> [B, h, w, C] bilinear (torch F.interpolate align_corners=False)."""
+    return jax.image.resize(x, (x.shape[0], h, w, x.shape[-1]), "bilinear")

@@ -1,0 +1,159 @@
+"""Neural point cloud: the optimizable scene representation.
+
+TPU-native counterpart of /root/reference/models/neural_points/neural_points.py.
+The point cloud is a pytree of fixed-capacity arrays (live points marked by
+``mask``); prune/grow mutate data, never shapes, so the train step stays
+compiled (SURVEY §7.1: capacity-bucketed padding instead of the bash restart
+loop).  Attribute gathers for the [R, SR, K] neighbor indices mirror the
+reference's `torch.index_select` block (neural_points.py:702-733) — gradients
+flow to point attributes exactly through these gathers.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hybridneuralrendering_tpu.config import PointsConfig
+
+
+class NeuralPoints(NamedTuple):
+    """Fixed-capacity point cloud.  All arrays padded to cfg.num_points."""
+
+    xyz: jnp.ndarray          # [N, 3] f32 — positions
+    embedding: jnp.ndarray    # [N, F] f32 — learned features
+    conf: jnp.ndarray         # [N, 1] f32 — confidence
+    color: jnp.ndarray        # [N, 3] f32
+    dirs: jnp.ndarray         # [N, 3] f32 — acquisition view directions
+    mask: jnp.ndarray         # [N] bool — live point
+    num_live: jnp.ndarray     # [] i32
+
+    @property
+    def capacity(self) -> int:
+        return self.xyz.shape[0]
+
+
+def init_from_arrays(xyz: np.ndarray, cfg: PointsConfig,
+                     embedding: Optional[np.ndarray] = None,
+                     conf: Optional[np.ndarray] = None,
+                     color: Optional[np.ndarray] = None,
+                     dirs: Optional[np.ndarray] = None,
+                     key: Optional[jax.Array] = None) -> NeuralPoints:
+    """Build a padded NeuralPoints from host arrays (reference set_points,
+    neural_points.py:404-464).  Missing attributes are initialized like the
+    reference: random features (`feature_init_method='rand'`), conf=1."""
+    n = len(xyz)
+    cap = cfg.num_points
+    if n > cap:
+        raise ValueError(f"{n} points exceed capacity {cap}")
+
+    def pad(a, width):
+        out = np.zeros((cap, width), np.float32)
+        if a is not None:
+            out[:n] = np.asarray(a, np.float32).reshape(n, width)
+        return out
+
+    if embedding is None:
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        emb = np.zeros((cap, cfg.feature_dim), np.float32)
+        emb[:n] = np.asarray(
+            jax.random.normal(key, (n, cfg.feature_dim)) * 0.1)
+    else:
+        emb = pad(embedding, cfg.feature_dim)
+
+    conf_arr = pad(conf if conf is not None else np.ones((n, 1)), 1)
+    mask = np.zeros(cap, bool)
+    mask[:n] = True
+    return NeuralPoints(
+        xyz=jnp.asarray(pad(xyz, 3)),
+        embedding=jnp.asarray(emb),
+        conf=jnp.asarray(conf_arr),
+        color=jnp.asarray(pad(color, 3)),
+        dirs=jnp.asarray(pad(dirs, 3)),
+        mask=jnp.asarray(mask),
+        num_live=jnp.asarray(n, jnp.int32),
+    )
+
+
+class SampledPoints(NamedTuple):
+    """Per-neighbor gathered attributes, [R, SR, K, ·]."""
+
+    xyz: jnp.ndarray          # [R, SR, K, 3]
+    embedding: jnp.ndarray    # [R, SR, K, F]
+    conf: jnp.ndarray         # [R, SR, K, 1]
+    color: jnp.ndarray        # [R, SR, K, 3]
+    dirs: jnp.ndarray         # [R, SR, K, 3]
+
+
+def gather(points: NeuralPoints, sample_pidx: jnp.ndarray) -> SampledPoints:
+    """Gather attributes for neighbor indices [R, SR, K] (clamped at 0 like the
+    reference; invalid slots are masked downstream by pnt_mask)."""
+    idx = jnp.clip(sample_pidx, 0)
+    return SampledPoints(
+        xyz=points.xyz[idx],
+        embedding=points.embedding[idx],
+        conf=points.conf[idx],
+        color=points.color[idx],
+        dirs=points.dirs[idx],
+    )
+
+
+def trainable_filter(cfg: PointsConfig) -> Dict[str, bool]:
+    """Which attributes receive gradients (reference per-attribute grad
+    switches, neural_points.py:133-170)."""
+    return {
+        "xyz": cfg.xyz_grad,
+        "embedding": cfg.feat_grad,
+        "conf": cfg.conf_grad,
+        "color": cfg.color_grad,
+        "dirs": cfg.dir_grad,
+        "mask": False,
+        "num_live": False,
+    }
+
+
+def prune(points: NeuralPoints, thresh: float) -> NeuralPoints:
+    """Drop points with conf below threshold (reference prune,
+    neural_points.py:350-373).  Pure masking — capacity unchanged."""
+    keep = points.mask & (points.conf[:, 0] > thresh)
+    return points._replace(
+        mask=keep, num_live=jnp.sum(keep.astype(jnp.int32)))
+
+
+def grow(points: NeuralPoints, new_xyz: jnp.ndarray, new_embedding: jnp.ndarray,
+         new_conf: jnp.ndarray, new_color: jnp.ndarray, new_dirs: jnp.ndarray,
+         new_mask: jnp.ndarray) -> NeuralPoints:
+    """Append up to M new points into free capacity slots (reference
+    grow_points concat, neural_points.py:376-402).  Fixed shapes: `new_*` are
+    padded to a static M with `new_mask`; slots are assigned by compacting free
+    indices.  Jittable."""
+    cap = points.capacity
+    M = new_xyz.shape[0]
+    free = ~points.mask                                  # [N]
+    # position of each incoming point among free slots
+    order = jnp.cumsum(new_mask.astype(jnp.int32)) - 1   # [M]
+    free_idx = jnp.cumsum(free.astype(jnp.int32)) - 1    # [N] rank of free slot
+    # slot_of_rank[r] = index of r-th free slot
+    slot_of_rank = jnp.full((cap,), cap, jnp.int32).at[
+        jnp.where(free, free_idx, cap)].set(
+        jnp.arange(cap, dtype=jnp.int32), mode="drop")
+    dest = slot_of_rank[jnp.clip(order, 0, cap - 1)]     # [M]
+    dest = jnp.where(new_mask, dest, cap)                # drop masked
+
+    def put(arr, new):
+        return arr.at[dest].set(new, mode="drop")
+
+    mask = points.mask.at[dest].set(True, mode="drop")
+    return NeuralPoints(
+        xyz=put(points.xyz, new_xyz),
+        embedding=put(points.embedding, new_embedding),
+        conf=put(points.conf, new_conf),
+        color=put(points.color, new_color),
+        dirs=put(points.dirs, new_dirs),
+        mask=mask,
+        num_live=jnp.sum(mask.astype(jnp.int32)),
+    )

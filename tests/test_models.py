@@ -1,0 +1,307 @@
+"""Model-layer tests: aggregator, blur module, losses, end-to-end renderer."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hybridneuralrendering_tpu import config as C
+from hybridneuralrendering_tpu.models import aggregator as agg
+from hybridneuralrendering_tpu.models import blur, losses
+from hybridneuralrendering_tpu.models import neural_points as npts
+from hybridneuralrendering_tpu.models import renderer
+from hybridneuralrendering_tpu.ops import query as Q
+from hybridneuralrendering_tpu.ops import voxel_grid as VG
+
+
+def tiny():
+    return C.tiny_test()
+
+
+def make_scene(cfg, n=800, seed=0):
+    rng = np.random.default_rng(seed)
+    xyz = rng.uniform(-1, 1, (n, 3)).astype(np.float32)
+    points = npts.init_from_arrays(
+        xyz, cfg.points,
+        conf=rng.uniform(0.3, 1.0, (n, 1)),
+        color=rng.uniform(0, 1, (n, 3)),
+        dirs=rng.normal(size=(n, 3)),
+        key=jax.random.PRNGKey(seed))
+    geom = VG.compute_grid_geometry(xyz, np.ones(n, bool), cfg.querier)
+    grid = VG.build_grid(points.xyz, points.mask, geom, cfg.querier)
+    return points, grid
+
+
+def make_batch(cfg, seed=1):
+    rng = np.random.default_rng(seed)
+    R = cfg.sampling.rays_per_batch
+    V = max(cfg.agg.use_nearest, 1)
+    H, W = cfg.image_hw
+    campos = np.array([0.0, 0.0, -3.0], np.float32)
+    targets = rng.uniform(-0.5, 0.5, (R, 3)).astype(np.float32)
+    dirs = targets - campos
+    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+    intr = np.array([[60.0, 0, W / 2], [0, 60.0, H / 2], [0, 0, 1]], np.float32)
+    c2w = np.eye(4, dtype=np.float32)
+    c2w[:3, 3] = campos
+    batch = {
+        "campos": jnp.asarray(campos),
+        "camrotc2w": jnp.eye(3),
+        "raydir": jnp.asarray(dirs),
+        "bg_color": jnp.asarray([1.0, 1.0, 1.0]),
+        "gt_image": jnp.asarray(rng.uniform(0, 1, (R, 3)).astype(np.float32)),
+        "images_nearest": jnp.asarray(
+            rng.uniform(0, 1, (V, H, W, 3)).astype(np.float32)),
+        "c2w_nearest": jnp.asarray(np.stack([c2w] * V)),
+        "campos_nearest": jnp.asarray(np.stack([campos] * V)),
+        "intrinsic_nearest": jnp.asarray(intr),
+        "frame_weight_nearest": jnp.ones((V,)),
+    }
+    return batch
+
+
+class TestAggregatorUnits:
+    def test_gradient_clamp_straight_through(self):
+        f = lambda c: jnp.sum(agg.gradient_clamp(c) * 2.0)
+        g = jax.grad(f)(jnp.asarray([0.5, -0.3, 1.7]))
+        np.testing.assert_allclose(np.asarray(g), 2.0)
+        v = agg.gradient_clamp(jnp.asarray([0.5, -0.3, 1.7]))
+        np.testing.assert_allclose(np.asarray(v), [0.5, 0.0001, 1.0],
+                                   rtol=1e-3)
+
+    def test_linear_weight_normalized(self):
+        d = jnp.asarray(np.random.default_rng(0).normal(size=(2, 3, 4, 6)))
+        m = jnp.ones((2, 3, 4), bool)
+        w = agg.dist_weight("linear", d, m)
+        w = w / jnp.maximum(jnp.sum(w, -1, keepdims=True), 1e-8)
+        np.testing.assert_allclose(np.asarray(jnp.sum(w, -1)), 1.0, rtol=1e-5)
+
+    def test_masked_neighbors_get_zero_weight(self):
+        d = jnp.ones((1, 1, 4, 6))
+        m = jnp.asarray([[[True, True, False, False]]])
+        w = np.asarray(agg.dist_weight("linear", d, m))
+        assert (w[..., 2:] == 0).all() and (w[..., :2] > 0).all()
+
+    def test_drop_ray_mask_matches_reference_rule(self):
+        cfg = tiny().agg
+        # patch_num=2, patch_size=4 -> 64 rays, 4 patches, ratio 0.5 -> 2 drop
+        m = agg.drop_ray_mask(cfg, 64, 2, 4)
+        assert m.sum() == 2 * 16
+        flag = m.reshape(8, 8)
+        assert flag[:4, :].all() and not flag[4:, :].any()
+
+    def test_dists_mode_20_layout(self):
+        cfg = tiny().agg
+        rng = np.random.default_rng(0)
+        sx = jnp.asarray(rng.normal(size=(2, 3, 4, 3)))
+        sxp = jnp.asarray(rng.normal(size=(2, 3, 4, 3)))
+        loc = jnp.asarray(rng.normal(size=(2, 3, 3)))
+        locw = jnp.asarray(rng.normal(size=(2, 3, 3)))
+        rd = jnp.asarray(rng.normal(size=(2, 3, 3)))
+        d = agg.build_dists(cfg, sx, sxp, loc, locw, rd)
+        assert d.shape == (2, 3, 4, 6)
+        np.testing.assert_allclose(
+            np.asarray(d[..., :3]), np.asarray(sx - locw[..., None, :]),
+            rtol=1e-5)
+
+
+class TestBlur:
+    def test_kernel_bank_counts_and_norm(self):
+        cfg = C.BlurConfig(add_blur_sim=True, blur_kernel_version=3,
+                           blur_kernel_size=9, num_move_dirs=8,
+                           move_dists=(1, 2, 4))
+        bank = blur.generate_kernel_bank(cfg)
+        assert bank.shape == (36, 9, 9)
+        np.testing.assert_allclose(bank.sum(axis=(1, 2)), 1.0, rtol=1e-5)
+
+    def test_kernel_bank_zeroed_when_disabled(self):
+        cfg = C.BlurConfig(add_blur_sim=False)
+        assert blur.generate_kernel_bank(cfg).sum() == 0
+
+    def test_patch_roundtrip(self):
+        rng = np.random.default_rng(0)
+        img = jnp.asarray(rng.normal(size=(8 * 8, 3)).astype(np.float32))
+        p = blur.to_patches(img, 2, 4)
+        back = blur.from_patches(p, 2, 4)
+        np.testing.assert_array_equal(np.asarray(back), np.asarray(img))
+
+    def test_bank_identity_when_gt_equals_render(self):
+        """If GT == rendered, the identity candidate wins -> output unchanged."""
+        cfg = C.BlurConfig(add_blur_sim=True, blur_kernel_size=5,
+                           move_dists=(1, 2), num_move_dirs=8)
+        bank = jnp.asarray(blur.generate_kernel_bank(cfg))
+        rng = np.random.default_rng(1)
+        img = jnp.asarray(rng.uniform(0, 1, (64, 3)).astype(np.float32))
+        out = blur.blur_bank_update(img, img, bank, 2, 4)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(img), atol=1e-6)
+
+    def test_bank_blur_recovers_blurry_gt(self):
+        """A GT made by blurring the render should be matched better than
+        identity."""
+        cfg = C.BlurConfig(add_blur_sim=True, blur_kernel_size=5,
+                           move_dists=(2,), num_move_dirs=4)
+        bank = jnp.asarray(blur.generate_kernel_bank(cfg))
+        rng = np.random.default_rng(2)
+        img = jnp.asarray(rng.uniform(0, 1, (256, 3)).astype(np.float32))
+        gt = blur.blur_bank_update(img, jnp.zeros_like(img), bank[:1], 2, 8)
+        # degrade toward that blurred gt
+        out = blur.blur_bank_update(img, gt, bank, 2, 8)
+        d_out = float(jnp.abs(out - gt).sum())
+        d_id = float(jnp.abs(img - gt).sum())
+        assert d_out <= d_id
+
+    def test_learnable_blur_shapes_and_grad(self):
+        cfg = tiny().agg
+        cfg = C.AggregatorConfig(
+            **{**cfg.__dict__, "learnable_blur_kernel": True,
+               "learnable_blur_patch_size": 4, "learnable_blur_kernel_size": 3})
+        params = agg.init(jax.random.PRNGKey(0), cfg)
+        rng = np.random.default_rng(0)
+        img = jnp.asarray(rng.uniform(0, 1, (64, 3)).astype(np.float32))
+        gt = jnp.asarray(rng.uniform(0, 1, (64, 3)).astype(np.float32))
+
+        def loss_fn(p, x):
+            out = blur.learnable_blur_update(p, cfg, x, gt, 2, 4)
+            return jnp.mean((out - gt) ** 2)
+
+        val, grads = jax.value_and_grad(loss_fn)(params, img)
+        assert np.isfinite(float(val))
+        gnorm = sum(float(jnp.abs(g).sum())
+                    for g in jax.tree_util.tree_leaves(grads["blur_kernel"]))
+        assert gnorm > 0
+
+
+class TestLosses:
+    def test_masked_matches_dense_when_all_masked(self):
+        rng = np.random.default_rng(0)
+        pred = jnp.asarray(rng.normal(size=(10, 3)).astype(np.float32))
+        gt = jnp.asarray(rng.normal(size=(10, 3)).astype(np.float32))
+        full = losses.masked_l2(pred, gt, jnp.ones(10, bool))
+        np.testing.assert_allclose(float(full),
+                                   float(jnp.mean((pred - gt) ** 2)), rtol=1e-6)
+
+    def test_compute_losses_items(self):
+        cfg = C.LossConfig()
+        R = 16
+        rng = np.random.default_rng(1)
+        out = {
+            "coarse_raycolor": jnp.asarray(
+                rng.uniform(0, 1, (R, 3)).astype(np.float32)),
+            "ray_mask": jnp.asarray(rng.random(R) > 0.5),
+            "conf_coefficient": jnp.asarray(
+                rng.uniform(0, 1, (R, 4, 2)).astype(np.float32)),
+        }
+        gt = jnp.asarray(rng.uniform(0, 1, (R, 3)).astype(np.float32))
+        total, items = losses.compute_losses(out, gt, cfg)
+        assert np.isfinite(float(total))
+        assert "loss_ray_masked_coarse_raycolor" in items
+        assert "loss_conf_coefficient" in items
+
+    def test_frame_weight_scales_color_only(self):
+        cfg = C.LossConfig(zero_one_loss_items=(), use_frame_weight=True)
+        R = 8
+        out = {"coarse_raycolor": jnp.zeros((R, 3)),
+               "ray_mask": jnp.ones(R, bool)}
+        gt = jnp.ones((R, 3))
+        t1, _ = losses.compute_losses(out, gt, cfg, frame_weight=1.0)
+        t2, _ = losses.compute_losses(out, gt, cfg, frame_weight=0.5)
+        np.testing.assert_allclose(float(t2), float(t1) * 0.5, rtol=1e-5)
+
+
+class TestRenderer:
+    def test_forward_shapes_and_finiteness(self):
+        cfg = tiny()
+        points, grid = make_scene(cfg)
+        batch = make_batch(cfg)
+        params = renderer.init_params(jax.random.PRNGKey(0), cfg)
+        out = renderer.render(params, points, grid, batch, cfg,
+                              key=jax.random.PRNGKey(1), train=True)
+        R = cfg.sampling.rays_per_batch
+        assert out["coarse_raycolor"].shape == (R, 3)
+        assert out["ray_mask"].shape == (R,)
+        assert np.isfinite(np.asarray(out["coarse_raycolor"])).all()
+        assert bool(np.asarray(out["ray_mask"]).any())
+
+    def test_miss_rays_render_background(self):
+        cfg = tiny()
+        points, grid = make_scene(cfg)
+        batch = make_batch(cfg)
+        # aim all rays away from the cloud
+        batch["raydir"] = jnp.asarray(
+            np.tile([[0.0, 0.0, -1.0]], (cfg.sampling.rays_per_batch, 1))
+            .astype(np.float32))
+        params = renderer.init_params(jax.random.PRNGKey(0), cfg)
+        out = renderer.render(params, points, grid, batch, cfg)
+        assert not bool(np.asarray(out["ray_mask"]).any())
+        expect = np.tile(np.asarray(batch["bg_color"])[None],
+                         (cfg.sampling.rays_per_batch, 1))
+        np.testing.assert_allclose(np.asarray(out["coarse_raycolor"]),
+                                   expect, atol=1e-5)
+
+    def test_grad_flows_to_points_and_params(self):
+        cfg = tiny()
+        points, grid = make_scene(cfg)
+        batch = make_batch(cfg)
+        params = renderer.init_params(jax.random.PRNGKey(0), cfg)
+
+        def loss_fn(params, embedding):
+            pts = points._replace(embedding=embedding)
+            out = renderer.render(params, pts, grid, batch, cfg, train=True,
+                                  key=jax.random.PRNGKey(2))
+            return losses.compute_losses(out, batch["gt_image"], cfg.loss)[0]
+
+        val, (gp, ge) = jax.value_and_grad(loss_fn, argnums=(0, 1))(
+            params, points.embedding)
+        assert np.isfinite(float(val))
+        assert float(jnp.abs(ge).sum()) > 0
+        for name in ["block1", "alpha", "color_feature", "mixup",
+                     "fusion_weight", "color_final"]:
+            leaf_sum = sum(float(jnp.abs(g).sum()) for g in
+                           jax.tree_util.tree_leaves(gp["aggregator"][name]))
+            assert leaf_sum > 0, f"no grad for {name}"
+
+    def test_prob_outputs(self):
+        cfg = tiny()
+        points, grid = make_scene(cfg)
+        batch = make_batch(cfg)
+        params = renderer.init_params(jax.random.PRNGKey(0), cfg)
+        out = renderer.render(params, points, grid, batch, cfg, prob=True)
+        R = cfg.sampling.rays_per_batch
+        assert out["ray_max_sample_loc_w"].shape == (R, 3)
+        assert out["shading_avg_embedding"].shape == (
+            R, cfg.points.feature_dim)
+
+    def test_jit_render(self):
+        cfg = tiny()
+        points, grid = make_scene(cfg)
+        batch = make_batch(cfg)
+        params = renderer.init_params(jax.random.PRNGKey(0), cfg)
+        f = jax.jit(lambda p, pts, g, b: renderer.render(p, pts, g, b, cfg))
+        out = f(params, points, grid, batch)
+        assert np.isfinite(np.asarray(out["coarse_raycolor"])).all()
+
+
+class TestNeuralPoints:
+    def test_prune(self):
+        cfg = tiny()
+        points, _ = make_scene(cfg)
+        pruned = npts.prune(points, 0.6)
+        conf = np.asarray(points.conf[:, 0])
+        mask0 = np.asarray(points.mask)
+        expect = mask0 & (conf > 0.6)
+        np.testing.assert_array_equal(np.asarray(pruned.mask), expect)
+
+    def test_grow_into_free_slots(self):
+        cfg = tiny()
+        points, _ = make_scene(cfg, n=100)
+        M = 16
+        rng = np.random.default_rng(0)
+        new_xyz = jnp.asarray(rng.uniform(-1, 1, (M, 3)).astype(np.float32))
+        new_mask = jnp.asarray(np.arange(M) < 10)
+        grown = npts.grow(
+            points, new_xyz,
+            jnp.zeros((M, cfg.points.feature_dim)), jnp.ones((M, 1)),
+            jnp.zeros((M, 3)), jnp.zeros((M, 3)), new_mask)
+        assert int(grown.num_live) == 110
+        # the first 10 free slots now carry the new coords
+        got = np.asarray(grown.xyz[100:110])
+        np.testing.assert_allclose(got, np.asarray(new_xyz[:10]), rtol=1e-6)
