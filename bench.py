@@ -1,0 +1,91 @@
+"""Benchmark: training-step throughput (rays/s, forward+backward) on the
+canonical ScanNet workload shapes (BASELINE.md: 56x56=3136 dilated rays/step,
+400 candidates -> SR=24 shading points, K=8 neighbors, hybrid fusion over 4
+nearest views, blur-kernel bank on).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+`vs_baseline` normalizes against ESTIMATED_REFERENCE_RAYS_PER_S — the repo
+publishes no throughput numbers (BASELINE.md), so the constant below is a
+rough estimate of the reference's single-RTX-3090 training throughput
+(~0.25 s/step at 3136 rays/step incl. CUDA querier + aux CNN recompute).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+ESTIMATED_REFERENCE_RAYS_PER_S = 13_000.0
+
+NUM_POINTS = 600_000
+WARMUP = 3
+ITERS = 10
+
+
+def bench_config():
+    from hybridneuralrendering_tpu import config as C
+    cfg = C.scannet_full()
+    # synthetic scene lives in +-3m; shrink grid ranges accordingly so the
+    # dense tables stay within capacity while keeping canonical vsize/SR/K/P
+    cfg = cfg.replace(
+        querier=C.QuerierConfig(
+            ranges=(-3.2, -3.2, -3.2, 3.2, 3.2, 3.2),
+            grid_capacity=70_000_000),
+        points=C.PointsConfig(num_points=NUM_POINTS),
+        image_hw=(480, 640),
+    )
+    return cfg
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from hybridneuralrendering_tpu.data.synthetic import (
+        make_synthetic_batch, make_synthetic_scene)
+    from hybridneuralrendering_tpu.models import blur as blur_mod
+    from hybridneuralrendering_tpu.models import renderer
+    from hybridneuralrendering_tpu.train import state as state_mod
+    from hybridneuralrendering_tpu.train import step as step_mod
+
+    cfg = bench_config()
+    points, grid = make_synthetic_scene(cfg, num_points=NUM_POINTS)
+    batch = make_synthetic_batch(cfg)
+    params = renderer.init_params(jax.random.PRNGKey(0), cfg)
+    ts = state_mod.create_train_state(params, points, cfg)
+    kernels = jnp.asarray(blur_mod.generate_kernel_bank(cfg.blur))
+
+    R = cfg.sampling.rays_per_batch
+    key = jax.random.PRNGKey(0)
+
+    # cache image-pyramid features outside the step loop is a real-trainer
+    # optimization; the bench keeps them inside (parity with the reference
+    # which recomputes the aux CNN every step)
+    for i in range(WARMUP):
+        ts, items = step_mod.train_step(ts, grid, batch,
+                                        jax.random.fold_in(key, i),
+                                        kernels, cfg)
+    jax.block_until_ready(items["loss_total"])
+
+    t0 = time.perf_counter()
+    for i in range(ITERS):
+        ts, items = step_mod.train_step(ts, grid, batch,
+                                        jax.random.fold_in(key, 100 + i),
+                                        kernels, cfg)
+    jax.block_until_ready(items["loss_total"])
+    dt = (time.perf_counter() - t0) / ITERS
+
+    rays_per_s = R / dt
+    print(json.dumps({
+        "metric": "train_rays_per_s",
+        "value": round(float(rays_per_s), 1),
+        "unit": "rays/s (fwd+bwd, ScanNet workload: R=3136 SR=24 K=8 hybrid+blur)",
+        "vs_baseline": round(float(rays_per_s / ESTIMATED_REFERENCE_RAYS_PER_S), 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,98 @@
+"""Train-step and multi-device sharding tests (8 virtual CPU devices)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hybridneuralrendering_tpu import config as C
+from hybridneuralrendering_tpu.data.synthetic import (make_synthetic_batch,
+                                                      make_synthetic_scene)
+from hybridneuralrendering_tpu.models import blur as blur_mod
+from hybridneuralrendering_tpu.models import renderer
+from hybridneuralrendering_tpu.train import state as state_mod
+from hybridneuralrendering_tpu.train import step as step_mod
+
+
+def setup(cfg=None, n=1500):
+    cfg = cfg or C.tiny_test()
+    points, grid = make_synthetic_scene(cfg, num_points=n)
+    batch = make_synthetic_batch(cfg)
+    params = renderer.init_params(jax.random.PRNGKey(0), cfg)
+    ts = state_mod.create_train_state(params, points, cfg)
+    kernels = jnp.asarray(blur_mod.generate_kernel_bank(cfg.blur))
+    return cfg, ts, grid, batch, kernels
+
+
+class TestTrainStep:
+    def test_loss_decreases(self):
+        cfg, ts, grid, batch, kernels = setup()
+        losses = []
+        for i in range(8):
+            ts, items = step_mod.train_step(
+                ts, grid, batch, jax.random.PRNGKey(i), kernels, cfg)
+            losses.append(float(items["loss_total"]))
+        assert all(np.isfinite(losses))
+        assert losses[-1] < losses[0], losses
+        assert int(ts.step) == 8
+
+    def test_point_attributes_update(self):
+        cfg, ts, grid, batch, kernels = setup()
+        # snapshot before stepping: train_step donates the state buffers
+        emb0 = np.array(ts.points.embedding)
+        xyz0 = np.array(ts.points.xyz)
+        ts2, _ = step_mod.train_step(ts, grid, batch, jax.random.PRNGKey(0),
+                                     kernels, cfg)
+        emb1 = np.asarray(ts2.points.embedding)
+        assert np.abs(emb1 - emb0).sum() > 0
+        # xyz has xyz_grad=False -> unchanged
+        np.testing.assert_array_equal(np.asarray(ts2.points.xyz), xyz0)
+
+    def test_lr_schedule(self):
+        cfg = C.tiny_test()
+        sched = state_mod.lr_schedule(0.001, cfg.optim)
+        np.testing.assert_allclose(float(sched(0)), 0.001, rtol=1e-6)
+        expect = 0.001 * cfg.optim.lr_decay_exp ** (
+            10000 / cfg.optim.lr_decay_iters)
+        np.testing.assert_allclose(float(sched(10000)), expect, rtol=1e-5)
+
+    def test_eval_step_no_drop(self):
+        cfg, ts, grid, batch, _ = setup()
+        out = step_mod.eval_step(ts.params, ts.points, grid, batch, cfg)
+        assert np.isfinite(np.asarray(out["coarse_raycolor"])).all()
+
+    def test_reset_optimizers(self):
+        cfg, ts, grid, batch, kernels = setup()
+        ts, _ = step_mod.train_step(ts, grid, batch, jax.random.PRNGKey(0),
+                                    kernels, cfg)
+        ts2 = state_mod.reset_optimizers(ts, cfg)
+        # moments back to zero
+        leaves = jax.tree_util.tree_leaves(ts2.opt_state_net)
+        assert all(float(jnp.abs(l).sum()) == 0 for l in leaves
+                   if hasattr(l, "dtype") and l.dtype.kind == "f")
+
+
+class TestMultiChip:
+    def test_dryrun_8_devices(self):
+        import sys
+        sys.path.insert(0, "/root/repo")
+        import __graft_entry__ as ge
+        assert len(jax.devices()) >= 8
+        ge.dryrun_multichip(8)
+
+    def test_sharded_matches_single_device(self):
+        """Same step on 1 vs 8 devices must agree (determinism across mesh)."""
+        from hybridneuralrendering_tpu.parallel import mesh as pmesh
+        cfg, ts, grid, batch, kernels = setup()
+        key = jax.random.PRNGKey(3)
+        ts1, items1 = step_mod.train_step(ts, grid, batch, key, kernels, cfg)
+        l1 = float(items1["loss_total"])
+
+        cfg2, ts2, grid2, batch2, kernels2 = setup()
+        m = pmesh.make_mesh(cfg2.parallel, jax.devices()[:8])
+        ts2 = pmesh.replicate_tree(ts2, m)
+        grid2 = pmesh.replicate_tree(grid2, m)
+        batch2 = pmesh.shard_batch(batch2, m, cfg2.parallel)
+        kernels2 = pmesh.replicate_tree(kernels2, m)
+        _, items2 = step_mod.train_step(ts2, grid2, batch2, key, kernels2, cfg2)
+        l2 = float(items2["loss_total"])
+        np.testing.assert_allclose(l2, l1, rtol=1e-4)
