@@ -1,0 +1,92 @@
+"""Video rendering driver (reference run/render_vid.py): renders a spherical
+or interpolated camera path from a checkpoint and assembles a video."""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+
+def build_argparser():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--preset", default="nerf_synth_points")
+    p.add_argument("--data-root", required=True)
+    p.add_argument("--scan", default="lego")
+    p.add_argument("--checkpoints-dir", default="./checkpoints")
+    p.add_argument("--name", default=None)
+    p.add_argument("--frames", type=int, default=40)
+    p.add_argument("--radius", type=float, default=4.0)
+    p.add_argument("--phi", type=float, default=-30.0)
+    p.add_argument("--fps", type=int, default=20)
+    return p
+
+
+def main(argv=None):
+    args = build_argparser().parse_args(argv)
+    import jax
+
+    from hybridneuralrendering_tpu import config as C
+    from hybridneuralrendering_tpu.cli.test import render_full_frame
+    from hybridneuralrendering_tpu.data.nerf_synth import (NerfSynthScene,
+                                                           pose_spherical)
+    from hybridneuralrendering_tpu.models import neural_points as npts
+    from hybridneuralrendering_tpu.models import renderer
+    from hybridneuralrendering_tpu.ops import voxel_grid as VG
+    from hybridneuralrendering_tpu.train import checkpoint as ckpt_mod
+    from hybridneuralrendering_tpu.train import state as state_mod
+    from hybridneuralrendering_tpu.utils.visualizer import Visualizer
+
+    cfg = C.PRESETS[args.preset](args.scan) if "scannet" in args.preset \
+        else C.PRESETS[args.preset]()
+    name = args.name or cfg.name
+    vis = Visualizer(args.checkpoints_dir, name + "_vid")
+    ckpt_dir = os.path.join(args.checkpoints_dir, name, "ckpt")
+
+    ds = NerfSynthScene(args.data_root, args.scan, cfg, "test")
+    latest = ckpt_mod.latest_checkpoint(ckpt_dir)
+    if latest is None:
+        raise FileNotFoundError(f"no checkpoint under {ckpt_dir}")
+    points = npts.init_from_arrays(np.zeros((1, 3), np.float32), cfg.points)
+    params = renderer.init_params(jax.random.PRNGKey(0), cfg)
+    ts, _ = ckpt_mod.load_checkpoint(
+        latest, state_mod.create_train_state(params, points, cfg))
+
+    geom = VG.compute_grid_geometry(np.asarray(ts.points.xyz),
+                                    np.asarray(ts.points.mask), cfg.querier)
+    grid = VG.build_grid(ts.points.xyz, ts.points.mask, geom, cfg.querier)
+
+    class PathView:
+        """Duck-typed dataset yielding poses along the spherical path."""
+
+        def __init__(self, base, poses):
+            self.base, self.poses = base, poses
+            self.height, self.width = base.height, base.width
+            self.id_list = list(range(len(poses)))
+
+        def get_batch(self, idx, rng=None, pixelcoords=None):
+            c2w = self.poses[idx]
+            b = self.base.get_batch(0, pixelcoords=pixelcoords)
+            camrot, campos = c2w[:3, :3], c2w[:3, 3]
+            from hybridneuralrendering_tpu.data.scannet import _np_raydir
+            raydir = _np_raydir(pixelcoords, self.base.intrinsic,
+                                camrot).reshape(-1, 3)
+            b.update({"campos": campos.astype(np.float32),
+                      "camrotc2w": camrot.astype(np.float32),
+                      "raydir": raydir.astype(np.float32)})
+            return b
+
+    poses = [pose_spherical(th, args.phi, args.radius)
+             for th in np.linspace(-180, 180, args.frames + 1)[:-1]]
+    path_ds = PathView(ds, poses)
+    for i in range(args.frames):
+        img = render_full_frame(ts.params, ts.points, grid, path_ds, i, cfg)
+        vis.save_image(img, i, "path")
+        vis.log(f"rendered path frame {i}/{args.frames}")
+    out = vis.gen_video(fps=args.fps)
+    vis.log(f"video written: {out}")
+
+
+if __name__ == "__main__":
+    main()

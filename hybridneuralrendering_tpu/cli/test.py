@@ -1,0 +1,108 @@
+"""Evaluation driver (reference run/test_ft.py).
+
+Loads a checkpoint, renders the full test split in fixed-size pixel chunks,
+writes PNGs, and reports PSNR/SSIM/RMSE (+LPIPS when available) — the
+protocol of run/test_ft.py:134-266 + run/evaluate.py:34-97.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+
+def build_argparser():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--preset", default="scannet_full")
+    p.add_argument("--data-root", required=True)
+    p.add_argument("--scan", default="scene0241_01")
+    p.add_argument("--checkpoints-dir", default="./checkpoints")
+    p.add_argument("--name", default=None)
+    p.add_argument("--num-frames", type=int, default=0,
+                   help="0 = all test frames")
+    p.add_argument("--with-lpips", action="store_true")
+    return p
+
+
+def render_full_frame(params, points, grid, dataset, frame_idx, cfg):
+    from hybridneuralrendering_tpu.data import sampling
+    from hybridneuralrendering_tpu.train import step as step_mod
+    H, W = dataset.height, dataset.width
+    chunk = cfg.sampling.rays_per_batch
+    pix = sampling.full_image_grid(H, W)
+    chunks, n_valid = sampling.chunk_pixels(pix, chunk)
+    img = np.zeros((H * W, 3), np.float32)
+    done = 0
+    for ci in range(chunks.shape[0]):
+        batch = dataset.get_batch(frame_idx, pixelcoords=chunks[ci][:, None, :])
+        batch = {k: v for k, v in batch.items() if k != "vid"}
+        out = step_mod.eval_step(params, points, grid, batch, cfg)
+        take = min(chunk, n_valid - done)
+        img[done:done + take] = np.asarray(out["coarse_raycolor"])[:take]
+        done += take
+    return img.reshape(H, W, 3)
+
+
+def main(argv=None):
+    args = build_argparser().parse_args(argv)
+    import jax
+
+    from hybridneuralrendering_tpu import config as C
+    from hybridneuralrendering_tpu.models import neural_points as npts
+    from hybridneuralrendering_tpu.models import renderer
+    from hybridneuralrendering_tpu.ops import voxel_grid as VG
+    from hybridneuralrendering_tpu.train import checkpoint as ckpt_mod
+    from hybridneuralrendering_tpu.train import state as state_mod
+    from hybridneuralrendering_tpu.utils import metrics as M
+    from hybridneuralrendering_tpu.utils.visualizer import Visualizer
+
+    cfg = C.PRESETS[args.preset](args.scan) if args.preset.startswith(
+        "scannet") else C.PRESETS[args.preset]()
+    name = args.name or cfg.name
+    vis = Visualizer(args.checkpoints_dir, name + "_test")
+    ckpt_dir = os.path.join(args.checkpoints_dir, name, "ckpt")
+
+    if args.preset.startswith("nerf"):
+        from hybridneuralrendering_tpu.data.nerf_synth import NerfSynthScene
+        test_ds = NerfSynthScene(args.data_root, args.scan, cfg, "test")
+    else:
+        from hybridneuralrendering_tpu.data.scannet import ScannetScene
+        test_ds = ScannetScene(args.data_root, args.scan, cfg, "test")
+
+    latest = ckpt_mod.latest_checkpoint(ckpt_dir)
+    if latest is None:
+        raise FileNotFoundError(f"no checkpoint under {ckpt_dir}")
+    # template state at capacity shapes
+    dummy_xyz = np.zeros((1, 3), np.float32)
+    points = npts.init_from_arrays(dummy_xyz, cfg.points)
+    params = renderer.init_params(jax.random.PRNGKey(0), cfg)
+    template = state_mod.create_train_state(params, points, cfg)
+    ts, best = ckpt_mod.load_checkpoint(latest, template)
+    vis.log(f"loaded {latest} (step {int(ts.step)}, best PSNR {best:.2f})")
+
+    geom = VG.compute_grid_geometry(np.asarray(ts.points.xyz),
+                                    np.asarray(ts.points.mask), cfg.querier)
+    grid = VG.build_grid(ts.points.xyz, ts.points.mask, geom, cfg.querier)
+
+    n = args.num_frames or len(test_ds)
+    preds, gts = [], []
+    for fi in range(min(n, len(test_ds))):
+        img = render_full_frame(ts.params, ts.points, grid, test_ds, fi, cfg)
+        gt = test_ds.image(test_ds.id_list[fi])
+        preds.append(img)
+        gts.append(gt)
+        vis.save_image(img, fi, "coarse_raycolor")
+        vis.save_image(gt, fi, "gt_image")
+        vis.log(f"frame {fi}: PSNR {M.psnr(img, gt):.3f}")
+
+    scores = M.report_metrics(preds, gts, with_lpips=args.with_lpips)
+    with open(os.path.join(vis.dir, "scores.txt"), "w") as f:
+        for k, v in scores.items():
+            f.write(f"{k}: {v}\n")
+            vis.log(f"{k}: {v:.4f}")
+
+
+if __name__ == "__main__":
+    main()

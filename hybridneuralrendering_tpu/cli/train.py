@@ -1,0 +1,209 @@
+"""Training driver (reference run/train_ft.py:621-1085).
+
+Usage:
+  python -m hybridneuralrendering_tpu.cli.train --preset scannet_full \
+      --data-root /path/to/scannet/scans --scan scene0241_01 \
+      --checkpoints-dir ./checkpoints [--max-steps N]
+
+Replaces the reference's bash restart loop + two-phase argparse with a typed
+preset + a handful of flags.  The loop: bootstrap points (depth unprojection /
+ply / checkpoint), build grid, then train with periodic eval, probe-and-grow
+(in-process, no restart), and checkpointing.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import numpy as np
+
+
+def build_argparser():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--preset", default="scannet_full",
+                   help="config preset name (see config.PRESETS)")
+    p.add_argument("--data-root", required=True)
+    p.add_argument("--scan", default="scene0241_01")
+    p.add_argument("--checkpoints-dir", default="./checkpoints")
+    p.add_argument("--name", default=None, help="run name (default: preset)")
+    p.add_argument("--max-steps", type=int, default=None)
+    p.add_argument("--load-points", type=int, default=2,
+                   help="0: feed-forward MVS, 1: ply mesh, 2: sensor depth")
+    p.add_argument("--vox-res", type=int, default=900,
+                   help="voxel-downsample resolution for init points")
+    p.add_argument("--test-freq", type=int, default=10_000)
+    p.add_argument("--save-freq", type=int, default=10_000)
+    p.add_argument("--print-freq", type=int, default=40)
+    p.add_argument("--prob-freq", type=int, default=None)
+    p.add_argument("--test-num", type=int, default=10)
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--seed", type=int, default=0)
+    return p
+
+
+def bootstrap_points(args, dataset, cfg):
+    """Initial point cloud (run/train_ft.py:679-778)."""
+    from hybridneuralrendering_tpu.data.point_init import (
+        voxel_downsample_closest)
+    if args.load_points == 1:
+        xyz = dataset.load_init_points()
+    elif args.load_points == 2:
+        xyz = dataset.load_init_depth_points()
+    else:
+        raise NotImplementedError(
+            "feed-forward MVS bootstrap requires mvs weights; use "
+            "--load-points 1|2")
+    if args.vox_res > 0:
+        xyz, _ = voxel_downsample_closest(xyz, args.vox_res)
+    if len(xyz) > cfg.points.num_points:
+        keep = np.random.default_rng(args.seed).choice(
+            len(xyz), cfg.points.num_points, replace=False)
+        xyz = xyz[keep]
+    return xyz
+
+
+def evaluate(params, points, grid, test_ds, cfg, vis, step, num_frames):
+    from hybridneuralrendering_tpu.data import sampling
+    from hybridneuralrendering_tpu.train import step as step_mod
+    from hybridneuralrendering_tpu.utils import metrics as M
+
+    H, W = test_ds.height, test_ds.width
+    chunk = cfg.sampling.rays_per_batch
+    psnrs = []
+    stride = max(len(test_ds) // max(num_frames, 1), 1)
+    for fi in range(0, len(test_ds), stride)[:num_frames] if False else \
+            list(range(0, len(test_ds), stride))[:num_frames]:
+        pix = sampling.full_image_grid(H, W)
+        chunks, n_valid = sampling.chunk_pixels(pix, chunk)
+        img = np.zeros((H * W, 3), np.float32)
+        done = 0
+        for ci in range(chunks.shape[0]):
+            batch = test_ds.get_batch(fi, pixelcoords=chunks[ci][:, None, :])
+            batch = {k: v for k, v in batch.items() if k != "vid"}
+            out = step_mod.eval_step(params, points, grid, batch, cfg)
+            take = min(chunk, n_valid - done)
+            img[done:done + take] = np.asarray(
+                out["coarse_raycolor"])[:take]
+            done += take
+        img = img.reshape(H, W, 3)
+        gt = test_ds.image(test_ds.id_list[fi])
+        psnrs.append(M.psnr(img, gt))
+        vis.save_image(img, step, f"test{fi:03d}-coarse_raycolor")
+    mean_psnr = float(np.mean(psnrs))
+    vis.log(f"eval step {step}: PSNR {mean_psnr:.3f} over {len(psnrs)} frames")
+    return mean_psnr
+
+
+def main(argv=None):
+    args = build_argparser().parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from hybridneuralrendering_tpu import config as C
+    from hybridneuralrendering_tpu.models import blur as blur_mod
+    from hybridneuralrendering_tpu.models import neural_points as npts
+    from hybridneuralrendering_tpu.models import renderer
+    from hybridneuralrendering_tpu.ops import voxel_grid as VG
+    from hybridneuralrendering_tpu.train import checkpoint as ckpt_mod
+    from hybridneuralrendering_tpu.train import lifecycle
+    from hybridneuralrendering_tpu.train import state as state_mod
+    from hybridneuralrendering_tpu.train import step as step_mod
+    from hybridneuralrendering_tpu.utils.visualizer import Visualizer
+
+    cfg = C.PRESETS[args.preset](args.scan) if args.preset in (
+        "scannet_full", "scannet_hybrid", "scannet_learnable") else \
+        C.PRESETS[args.preset]()
+    name = args.name or cfg.name
+    vis = Visualizer(args.checkpoints_dir, name)
+    ckpt_dir = os.path.join(args.checkpoints_dir, name, "ckpt")
+
+    if args.preset.startswith("nerf"):
+        from hybridneuralrendering_tpu.data.nerf_synth import NerfSynthScene
+        train_ds = NerfSynthScene(args.data_root, args.scan, cfg, "train")
+        test_ds = NerfSynthScene(args.data_root, args.scan, cfg, "test")
+    else:
+        from hybridneuralrendering_tpu.data.scannet import ScannetScene
+        train_ds = ScannetScene(args.data_root, args.scan, cfg, "train")
+        test_ds = ScannetScene(args.data_root, args.scan, cfg, "test")
+
+    rng = np.random.default_rng(args.seed)
+    key = jax.random.PRNGKey(args.seed)
+
+    vis.log(f"bootstrapping points (mode {args.load_points})...")
+    xyz = bootstrap_points(args, train_ds, cfg)
+    vis.log(f"init cloud: {len(xyz)} points")
+    points = npts.init_from_arrays(xyz, cfg.points, key=key)
+    geom = VG.compute_grid_geometry(xyz, np.ones(len(xyz), bool), cfg.querier)
+    grid = VG.build_grid(points.xyz, points.mask, geom, cfg.querier)
+
+    params = renderer.init_params(key, cfg)
+    ts = state_mod.create_train_state(params, points, cfg)
+    best_psnr = 0.0
+    if args.resume:
+        latest = ckpt_mod.latest_checkpoint(ckpt_dir)
+        if latest:
+            ts, best_psnr = ckpt_mod.load_checkpoint(latest, ts)
+            geom = VG.compute_grid_geometry(
+                np.asarray(ts.points.xyz), np.asarray(ts.points.mask),
+                cfg.querier)
+            grid = VG.build_grid(ts.points.xyz, ts.points.mask, geom,
+                                 cfg.querier)
+            vis.log(f"resumed from {latest} at step {int(ts.step)}")
+
+    kernels = jnp.asarray(blur_mod.generate_kernel_bank(cfg.blur))
+    tracker = lifecycle.RayMissTracker()
+    max_steps = args.max_steps or cfg.optim.maximum_step
+    prob_freq = args.prob_freq or cfg.probe.prob_freq
+
+    vis.log(f"training {name}: {max_steps} steps, "
+            f"{cfg.sampling.rays_per_batch} rays/step, "
+            f"{int(ts.points.num_live)} live points")
+    t_start = time.time()
+    step = int(ts.step)
+    while step < max_steps:
+        fi = int(rng.integers(len(train_ds)))
+        batch = train_ds.get_batch(fi, rng)
+        vid = batch.pop("vid")
+        ts, items = step_mod.train_step(
+            ts, grid, batch, jax.random.fold_in(key, step), kernels, cfg)
+        step = int(ts.step)
+
+        if "loss_ray_miss_coarse_raycolor" in items:
+            tracker.update(fi, float(items["loss_ray_miss_coarse_raycolor"]))
+
+        if step % args.print_freq == 0:
+            vis.accumulate_losses(
+                {k: float(v) for k, v in items.items() if k.startswith("loss")})
+            sps = step / max(time.time() - t_start, 1e-9)
+            vis.print_losses(step, extra=f"steps/s={sps:.2f}")
+
+        if step % args.test_freq == 0:
+            mean_psnr = evaluate(ts.params, ts.points, grid, test_ds, cfg,
+                                 vis, step, args.test_num)
+            if mean_psnr > best_psnr:
+                best_psnr = mean_psnr
+                ckpt_mod.save_checkpoint(ckpt_dir, ts, best_psnr)
+
+        if step % args.save_freq == 0:
+            ckpt_mod.save_checkpoint(ckpt_dir, ts, best_psnr)
+
+        if prob_freq > 0 and step % prob_freq == 0 and step < max_steps:
+            vis.log(f"probe-and-grow at step {step}...")
+            new_points, new_grid, n_added = lifecycle.probe_and_grow(
+                ts.params, ts.points, grid, train_ds, cfg, tracker, rng=rng)
+            if n_added > 0:
+                ts = ts._replace(points=new_points)
+                ts = state_mod.reset_optimizers(ts, cfg)
+                grid = new_grid
+                vis.log(f"grew {n_added} points "
+                        f"(live: {int(ts.points.num_live)})")
+
+    ckpt_mod.save_checkpoint(ckpt_dir, ts, best_psnr)
+    vis.log(f"done: {max_steps} steps, best PSNR {best_psnr:.3f}")
+
+
+if __name__ == "__main__":
+    main()
