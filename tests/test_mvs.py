@@ -1,0 +1,164 @@
+"""MVS subsystem tests: warps, feature nets, plane-sweep depth, filtering."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hybridneuralrendering_tpu.mvs import features as F
+from hybridneuralrendering_tpu.mvs import filter as GF
+from hybridneuralrendering_tpu.mvs import mvsnet, point_gen
+from hybridneuralrendering_tpu.mvs import warp as W
+
+
+def intr(f=40.0, cx=16.0, cy=12.0):
+    return jnp.asarray([[f, 0, cx], [0, f, cy], [0, 0, 1]], jnp.float32)
+
+
+class TestWarp:
+    def test_bilinear_sample_exact_at_integer(self):
+        rng = np.random.default_rng(0)
+        feat = jnp.asarray(rng.normal(size=(8, 10, 4)).astype(np.float32))
+        xy = jnp.asarray([[3.0, 2.0], [0.0, 0.0], [9.0, 7.0]])
+        out = np.asarray(W.bilinear_sample(feat, xy))
+        np.testing.assert_allclose(out[0], np.asarray(feat[2, 3]), rtol=1e-6)
+        np.testing.assert_allclose(out[2], np.asarray(feat[7, 9]), rtol=1e-6)
+
+    def test_bilinear_sample_interpolates(self):
+        feat = jnp.zeros((4, 4, 1)).at[1, 1, 0].set(1.0)
+        out = float(W.bilinear_sample(feat, jnp.asarray([[1.5, 1.0]]))[0, 0])
+        np.testing.assert_allclose(out, 0.5, rtol=1e-6)
+
+    def test_bilinear_out_of_range_zero(self):
+        feat = jnp.ones((4, 4, 1))
+        out = np.asarray(W.bilinear_sample(
+            feat, jnp.asarray([[-2.0, 1.0], [1.0, 10.0]])))
+        np.testing.assert_allclose(out, 0.0)
+
+    def test_project_to_view_identity(self):
+        pts = jnp.asarray([[0.0, 0.0, 2.0]])
+        xy, mask = W.project_to_view(pts, jnp.eye(4), jnp.eye(4), intr(),
+                                     24, 32)
+        np.testing.assert_allclose(np.asarray(xy)[0], [16, 12], atol=1e-5)
+        assert bool(mask[0])
+
+    def test_plane_sweep_identity_proj(self):
+        """With proj = identity intrinsic mapping, the warp at any depth
+        samples the unprojected pixel itself."""
+        rng = np.random.default_rng(1)
+        feat = jnp.asarray(rng.normal(size=(6, 8, 2)).astype(np.float32))
+        k = intr(10.0, 4.0, 3.0)
+        # proj = K @ [I|0] then ref grid unprojects with same K -> identity
+        proj = jnp.concatenate([k, jnp.zeros((3, 1))], axis=1)
+        # build src positions: pos = K*(x,y,1)*... easier: use ref==src case
+        # src_proj @ ref_proj_inv = I -> proj_mat = [I|0]
+        ident = jnp.concatenate([jnp.eye(3), jnp.zeros((3, 1))], axis=1)
+        out = W.plane_sweep_warp(feat, ident, jnp.asarray([1.0, 2.0]))
+        # pos = grid * d -> xy = grid[:2]/1 = pixel coords -> exact sample
+        np.testing.assert_allclose(np.asarray(out[0]), np.asarray(feat),
+                                   rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(out[1]), np.asarray(feat),
+                                   rtol=1e-5)
+
+    def test_depth_regression(self):
+        prob = jnp.zeros((5, 2, 2)).at[3].set(1.0)
+        d = W.depth_regression(prob, jnp.asarray([1.0, 2, 3, 4, 5]))
+        np.testing.assert_allclose(np.asarray(d), 4.0)
+
+
+class TestFeatureNets:
+    def test_feature_net_shapes(self):
+        p = F.feature_net_init(jax.random.PRNGKey(0))
+        imgs = jnp.ones((2, 32, 40, 3))
+        pyr = F.feature_net_apply(p, imgs)
+        assert [t.shape for t in pyr] == [
+            (2, 32, 40, 3), (2, 32, 40, 8), (2, 16, 20, 16), (2, 8, 10, 32)]
+
+    def test_cost_reg_shapes(self):
+        p = F.cost_reg_init(jax.random.PRNGKey(0), 32)
+        vol = jnp.ones((8, 16, 16, 32))
+        out = F.cost_reg_apply(p, vol)
+        assert out.shape == (8, 16, 16, 8)
+        assert np.isfinite(np.asarray(out)).all()
+
+
+class TestMvsnetDepth:
+    def test_depth_on_synthetic_plane(self):
+        """Textured fronto-parallel plane at depth 3: the sweep should recover
+        a depth field near 3 (untrained nets give noisy scores; we only check
+        shapes/finiteness and that GT-depth mode is exact)."""
+        params = mvsnet.init(jax.random.PRNGKey(0))
+        V, H, Wd = 3, 32, 40
+        rng = np.random.default_rng(0)
+        imgs = jnp.asarray(rng.uniform(0, 1, (V, H, Wd, 3)).astype(np.float32))
+        w2cs = jnp.stack([jnp.eye(4)] * V)
+        depth, conf = mvsnet.depth_from_views(
+            params, imgs, intr(30.0, Wd / 2, H / 2),
+            w2cs, jnp.linspace(2.0, 4.0, 8))
+        assert depth.shape == (H // 4, Wd // 4)
+        assert np.isfinite(np.asarray(depth)).all()
+        assert (np.asarray(depth) >= 2.0).all() and (
+            np.asarray(depth) <= 4.0).all()
+        assert np.isfinite(np.asarray(conf)).all()
+
+    def test_gt_depth_mode(self):
+        params = point_gen.init(jax.random.PRNGKey(0), use_mvsnet=False)
+        depth = jnp.full((12, 16), 2.5)
+        imgs = jnp.ones((2, 12, 16, 3))
+        cam_xyz, conf, mask = point_gen.gen_points(
+            params, imgs, intr(20.0, 8, 6), jnp.stack([jnp.eye(4)] * 2),
+            1.0, 5.0, depth_gt=depth)
+        assert bool(mask.all())
+        np.testing.assert_allclose(np.asarray(cam_xyz)[:, 2], 2.5, rtol=1e-5)
+
+
+class TestQueryEmbedding:
+    def test_shapes_and_premlp(self):
+        params = point_gen.init(jax.random.PRNGKey(0), point_features_dim=16,
+                                use_mvsnet=False)
+        N, V, H, Wd = 50, 2, 24, 32
+        rng = np.random.default_rng(0)
+        cam_xyz = jnp.asarray(
+            np.stack([rng.uniform(-0.5, 0.5, N), rng.uniform(-0.4, 0.4, N),
+                      rng.uniform(1.5, 2.5, N)], -1).astype(np.float32))
+        imgs = jnp.asarray(rng.uniform(0, 1, (V, H, Wd, 3)).astype(np.float32))
+        c2ws = jnp.stack([jnp.eye(4)] * V)
+        w2cs = jnp.stack([jnp.eye(4)] * V)
+        emb, col, dirs, conf = point_gen.query_embedding(
+            params, cam_xyz, imgs, c2ws, w2cs, intr(20.0, 16, 12), 0)
+        assert emb.shape == (N, 16)
+        assert col.shape == (N, 3)
+        assert dirs.shape == (N, 3)
+        assert conf.shape == (N, 1)
+        np.testing.assert_allclose(
+            np.asarray(jnp.linalg.norm(dirs, axis=-1)), 1.0, rtol=1e-4)
+
+
+class TestGeometricFilter:
+    def test_consistent_views_pass(self):
+        """Two identical cameras with identical depth: everything consistent."""
+        H, Wd = 16, 20
+        depth = jnp.full((H, Wd), 2.0)
+        k = intr(15.0, Wd / 2, H / 2)
+        e = jnp.eye(4)
+        mask, dep = GF.check_geometric_consistency(depth, k, e, depth, k, e)
+        assert bool(np.asarray(mask).all())
+        np.testing.assert_allclose(np.asarray(dep), 2.0, rtol=1e-4)
+
+    def test_inconsistent_depth_fails(self):
+        H, Wd = 16, 20
+        k = intr(15.0, Wd / 2, H / 2)
+        e = jnp.eye(4)
+        mask, _ = GF.check_geometric_consistency(
+            jnp.full((H, Wd), 2.0), k, e, jnp.full((H, Wd), 3.0), k, e)
+        assert not bool(np.asarray(mask).any())
+
+    def test_filter_depths_multi_view(self):
+        H, Wd, V = 12, 16, 3
+        k = jnp.stack([intr(12.0, Wd / 2, H / 2)] * V)
+        e = jnp.stack([jnp.eye(4)] * V)
+        depths = jnp.full((V, H, Wd), 2.0)
+        conf = jnp.full((V, H, Wd), 0.9)
+        mask, avg = GF.filter_depths(depths, k, e, conf, conf_thresh=0.8,
+                                     geo_cnsst_num=2)
+        assert bool(np.asarray(mask).all())
+        np.testing.assert_allclose(np.asarray(avg), 2.0, rtol=1e-4)
