@@ -130,10 +130,18 @@ def init(key, cfg: AggregatorConfig) -> Dict:
                                            final_act=True)
 
     if cfg.use_nearest >= 0:
-        # fusion-weight MLP over [img_feat, 3D feat, delta viewdir]
-        fin = aux_c + half + (3 if cfg.use_delta_view else 0)
-        fdims = [fin, half // 2, half // 2, half // 2, 1]
-        params["fusion_weight"] = mlp.mlp_init(keys[6], fdims, act)
+        if cfg.tradition_attention:
+            # QKV attention fusion (attention.py:87-131): point feature is the
+            # query, per-view image features (+ delta view) are K/V
+            from hybridneuralrendering_tpu.models import attention
+            ctx = aux_c + (3 if cfg.use_delta_view else 0)
+            params["attention"] = attention.init(keys[6], half, ctx,
+                                                 inner_channels=16)
+        else:
+            # fusion-weight MLP over [img_feat, 3D feat, delta viewdir]
+            fin = aux_c + half + (3 if cfg.use_delta_view else 0)
+            fdims = [fin, half // 2, half // 2, half // 2, 1]
+            params["fusion_weight"] = mlp.mlp_init(keys[6], fdims, act)
         params["pyramid"] = feature_pyramid.init(
             keys[7], act, in_ch=3 + (2 if cfg.add_idx else 0))
 
@@ -327,19 +335,35 @@ def apply(params: Dict, cfg: AggregatorConfig, *,
         img_feat = img_feat_n[vidx, pyc, pxc]                    # [V,R,SR,45]
         img_feat = img_feat * valid[..., None].astype(f32)
 
-        fw_in = [img_feat,
-                 jnp.broadcast_to(color_feature[None], (V, R, SR,
-                                                        color_feature.shape[-1]))]
-        if cfg.use_delta_view:
-            fw_in.append(delta_viewdir_n)
-        fusion_w = jax.nn.sigmoid(mlp.mlp_apply(
-            params["fusion_weight"], jnp.concatenate(fw_in, axis=-1),
-            cfg.act_type))                                        # [V,R,SR,1]
-        fusion_w = fusion_w * valid[..., None].astype(f32)
-        if cfg.downweight_blurry_feats and frame_weight_n is not None:
-            fusion_w = fusion_w * frame_weight_n[:, None, None, None]
-        merged = jnp.sum(img_feat * fusion_w, axis=0) / (
-            jnp.sum(fusion_w, axis=0) + 1e-6)                     # [R,SR,45]
+        if cfg.tradition_attention:
+            from hybridneuralrendering_tpu.models import attention
+            ctx = img_feat
+            if cfg.use_delta_view:
+                ctx = jnp.concatenate([img_feat, delta_viewdir_n], axis=-1)
+            # [V, R, SR, C] -> [R*SR, V, C]; query = point feature
+            ctx_b = ctx.transpose(1, 2, 0, 3).reshape(R * SR, V, ctx.shape[-1])
+            q_b = color_feature.reshape(R * SR, -1)
+            valid_b = valid.transpose(1, 2, 0).reshape(R * SR, V)
+            fused = attention.apply(params["attention"], q_b, ctx_b,
+                                    valid=valid_b,
+                                    use_gumbel=cfg.use_gumbel_softmax,
+                                    train=train)
+            merged = fused.reshape(R, SR, -1)[..., :aux_c]
+        else:
+            fw_in = [img_feat,
+                     jnp.broadcast_to(
+                         color_feature[None],
+                         (V, R, SR, color_feature.shape[-1]))]
+            if cfg.use_delta_view:
+                fw_in.append(delta_viewdir_n)
+            fusion_w = jax.nn.sigmoid(mlp.mlp_apply(
+                params["fusion_weight"], jnp.concatenate(fw_in, axis=-1),
+                cfg.act_type))                                    # [V,R,SR,1]
+            fusion_w = fusion_w * valid[..., None].astype(f32)
+            if cfg.downweight_blurry_feats and frame_weight_n is not None:
+                fusion_w = fusion_w * frame_weight_n[:, None, None, None]
+            merged = jnp.sum(img_feat * fusion_w, axis=0) / (
+                jnp.sum(fusion_w, axis=0) + 1e-6)                 # [R,SR,45]
 
         if train and drop_mask is not None:
             merged = merged * (1.0 - drop_mask[:, None, None].astype(f32))

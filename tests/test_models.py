@@ -305,3 +305,43 @@ class TestNeuralPoints:
         # the first 10 free slots now carry the new coords
         got = np.asarray(grown.xyz[100:110])
         np.testing.assert_allclose(got, np.asarray(new_xyz[:10]), rtol=1e-6)
+
+
+class TestAttentionFusion:
+    def test_attention_block_shapes(self):
+        from hybridneuralrendering_tpu.models import attention
+        p = attention.init(jax.random.PRNGKey(0), 64, 48, 16)
+        q = jnp.ones((10, 64))
+        ctx = jnp.ones((10, 4, 48))
+        out = attention.apply(p, q, ctx)
+        assert out.shape == (10, 48)
+        # proj_out zero-init -> output starts at bias = 0
+        np.testing.assert_allclose(np.asarray(out), 0.0)
+
+    def test_attention_masks_invalid_views(self):
+        from hybridneuralrendering_tpu.models import attention
+        p = attention.init(jax.random.PRNGKey(1), 8, 6, 8)
+        # make proj nonzero so differences are observable
+        p["proj"]["w"] = jnp.ones_like(p["proj"]["w"])
+        rng = np.random.default_rng(0)
+        q = jnp.asarray(rng.normal(size=(5, 8)).astype(np.float32))
+        ctx = jnp.asarray(rng.normal(size=(5, 3, 6)).astype(np.float32))
+        valid = jnp.asarray([[True, True, False]] * 5)
+        out1 = attention.apply(p, q, ctx, valid=valid)
+        # perturbing the masked view must not change the output
+        ctx2 = ctx.at[:, 2].add(100.0)
+        out2 = attention.apply(p, q, ctx2, valid=valid)
+        np.testing.assert_allclose(np.asarray(out1), np.asarray(out2),
+                                   rtol=1e-5)
+
+    def test_renderer_with_attention(self):
+        import dataclasses
+        cfg = tiny()
+        cfg = cfg.replace(agg=dataclasses.replace(
+            cfg.agg, tradition_attention=True))
+        points, grid = make_scene(cfg)
+        batch = make_batch(cfg)
+        params = renderer.init_params(jax.random.PRNGKey(0), cfg)
+        out = renderer.render(params, points, grid, batch, cfg, train=True,
+                              key=jax.random.PRNGKey(1))
+        assert np.isfinite(np.asarray(out["coarse_raycolor"])).all()
