@@ -168,3 +168,67 @@ class TestBlurKernelRotation:
         out = _rotate_bilinear(img, 90)
         # 90 deg ccw about center: (row 1, col 2) -> (row 2, col 1)
         assert out[2, 1] > 0.99
+
+
+class TestNativeSampler:
+    def test_native_matches_semantics(self):
+        from hybridneuralrendering_tpu.data import native_sampler as NS
+        if NS.load() is None:
+            import pytest
+            pytest.skip("native lib not built")
+        rng = np.random.default_rng(0)
+        img = rng.uniform(0, 1, (48, 64, 3)).astype(np.float32)
+        intr = np.array([[50.0, 0, 32], [0, 50.0, 24], [0, 0, 1]], np.float32)
+        rot = np.eye(3, dtype=np.float32)
+        out = NS.assemble_batch(img, 2, 2, 4, 1, 3, intr, rot, seed=7)
+        assert out is not None
+        xy, rgb, dirs = out
+        assert xy.shape == (8, 8, 2)
+        # in-bounds with margin
+        assert xy[..., 0].min() >= 2 and xy[..., 0].max() < 62
+        assert xy[..., 1].min() >= 2 and xy[..., 1].max() < 46
+        # gt gather matches numpy indexing
+        flat = xy.reshape(-1, 2).astype(int)
+        np.testing.assert_allclose(rgb, img[flat[:, 1], flat[:, 0]],
+                                   rtol=1e-6)
+        # ray dirs are unit and match the numpy builder
+        from hybridneuralrendering_tpu.data.scannet import _np_raydir
+        expect = _np_raydir(xy.reshape(-1, 2), intr, rot)
+        np.testing.assert_allclose(dirs, expect, rtol=1e-4, atol=1e-5)
+
+    def test_native_deterministic_by_seed(self):
+        from hybridneuralrendering_tpu.data import native_sampler as NS
+        if NS.load() is None:
+            import pytest
+            pytest.skip("native lib not built")
+        img = np.zeros((32, 32, 3), np.float32)
+        intr = np.eye(3, dtype=np.float32)
+        rot = np.eye(3, dtype=np.float32)
+        a = NS.assemble_batch(img, 0, 2, 4, 1, 2, intr, rot, seed=3)
+        b = NS.assemble_batch(img, 0, 2, 4, 1, 2, intr, rot, seed=3)
+        c = NS.assemble_batch(img, 0, 2, 4, 1, 2, intr, rot, seed=4)
+        np.testing.assert_array_equal(a[0], b[0])
+        assert not np.array_equal(a[0], c[0])
+
+    def test_prefetch_pipeline(self):
+        from hybridneuralrendering_tpu.data import native_sampler as NS
+        if NS.load() is None:
+            import pytest
+            pytest.skip("native lib not built")
+        rng = np.random.default_rng(1)
+        img = rng.uniform(0, 1, (32, 40, 3)).astype(np.float32)
+        intr = np.array([[30.0, 0, 20], [0, 30.0, 16], [0, 0, 1]], np.float32)
+        rot = np.eye(3, dtype=np.float32)
+        pipe = NS.PrefetchPipeline(num_workers=2)
+        tickets = [pipe.submit(img, 0, 2, 4, 1, 2, intr, rot, seed=i)
+                   for i in range(4)]
+        got = set()
+        for _ in range(4):
+            t, xy, rgb, dirs = pipe.pop()
+            got.add(t)
+            assert xy.shape == (64, 2)
+            flat = xy.astype(int)
+            np.testing.assert_allclose(rgb, img[flat[:, 1], flat[:, 0]],
+                                       rtol=1e-6)
+        assert got == set(tickets)
+        pipe.close()
