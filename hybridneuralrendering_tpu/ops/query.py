@@ -28,7 +28,7 @@ import numpy as np
 from hybridneuralrendering_tpu.config import QuerierConfig
 from hybridneuralrendering_tpu.core import rays as ray_gen
 from hybridneuralrendering_tpu.ops.voxel_grid import (
-    PointGrid, _neighbor_offsets, linearize, voxel_coords)
+    XYZ_SENTINEL, PointGrid, _neighbor_offsets, linearize, voxel_coords)
 
 
 class QueryResult(NamedTuple):
@@ -76,37 +76,61 @@ def query_points(grid: PointGrid, xyz: jnp.ndarray, campos: jnp.ndarray,
     sample_mask = jnp.zeros((R, SR), jnp.bool_).at[
         ray_idx, slot].set(True, mode="drop")
 
-    # 4. exact K-NN over the kernel_size neighbor voxels
-    radius2 = np.float32(cfg.radius_limit ** 2) if cfg.radius_limit > 0 else None
+    # 4. exact K-NN over the kernel_size neighbor voxels.
+    #
+    # Candidate point coordinates come from the grid's packed [max_o, P, 3]
+    # buckets (contiguous row gathers; empty slots carry a far sentinel so
+    # their distances never win) instead of per-candidate scalar gathers into
+    # the [N, 3] cloud — the difference between ~R*SR*Q*P random loads and
+    # ~R*SR*Q sequential row loads on TPU.
+    radius2 = np.float32(cfg.radius_limit ** 2) if cfg.radius_limit > 0 \
+        else np.float32(1e18)
     svox = voxel_coords(sample_loc_w, grid.geom)              # [R, SR, 3]
-    offsets = jnp.asarray(_neighbor_offsets(cfg.kernel_size))  # [Q, 3]
+    offsets = _neighbor_offsets(cfg.kernel_size)               # [Q, 3] np
+    Q_total = len(offsets)
     BIG = jnp.float32(1e30)
 
-    def visit_voxel(carry, off):
-        best_d, best_i = carry                                 # [R,SR,K] each
-        nb_lin = linearize(svox + off[None, None, :], grid.geom, cap)
-        occ = grid.coor2occ.at[nb_lin].get(mode="fill", fill_value=-1)  # [R,SR]
-        occ_ok = occ >= 0
-        occ_safe = jnp.where(occ_ok, occ, 0)
-        pids = grid.occ_pnts[occ_safe]                         # [R, SR, P]
-        npnts = jnp.where(occ_ok, grid.occ_numpnts[occ_safe], 0)
-        slot_ok = (jnp.arange(P)[None, None, :] < npnts[..., None]) & (pids >= 0)
-        pxyz = xyz[jnp.clip(pids, 0)]                          # [R, SR, P, 3]
-        d2 = jnp.sum(
-            (pxyz - sample_loc_w[..., None, :]) ** 2, axis=-1)  # [R, SR, P]
-        if radius2 is not None:
-            slot_ok = slot_ok & (d2 <= radius2)
-        d2 = jnp.where(slot_ok, d2, BIG)
-        # merge with running best-K
-        all_d = jnp.concatenate([best_d, d2], axis=-1)         # [R, SR, K+P]
-        all_i = jnp.concatenate([best_i, pids], axis=-1)
-        neg_top, arg_top = jax.lax.top_k(-all_d, K)
-        new_d = -neg_top
-        new_i = jnp.take_along_axis(all_i, arg_top, axis=-1)
-        return (new_d, new_i), None
+    # distances for all candidates, computed in z-plane chunks to bound the
+    # transient [R, SR, chunk*P, 3] buffers
+    chunk = max(Q_total // 3, 1)
+    d2_parts, pid_parts = [], []
+    for c0 in range(0, Q_total, chunk):
+        off = jnp.asarray(offsets[c0:c0 + chunk])              # [q, 3]
+        nb_lin = linearize(
+            svox[:, :, None, :] + off[None, None, :, :], grid.geom, cap)
+        occ = grid.coor2occ.at[nb_lin].get(mode="fill",
+                                           fill_value=-1)     # [R, SR, q]
+        occ_safe = jnp.where(occ >= 0, occ, grid.occ_pnts.shape[0] - 1)
+        # row gathers: [R, SR, q, P, ...]
+        pxyz = jnp.where((occ >= 0)[..., None, None],
+                         grid.occ_pnt_xyz[occ_safe], XYZ_SENTINEL)
+        pids = jnp.where((occ >= 0)[..., None],
+                         grid.occ_pnts[occ_safe], -1)
+        d2 = jnp.sum((pxyz - sample_loc_w[:, :, None, None, :]) ** 2,
+                     axis=-1)                                  # [R, SR, q, P]
+        d2 = jnp.where(d2 <= radius2, d2, BIG)
+        q = off.shape[0]
+        d2_parts.append(d2.reshape(R, SR, q * P))
+        pid_parts.append(pids.reshape(R, SR, q * P))
+    cand_d = jnp.concatenate(d2_parts, axis=-1)                # [R, SR, Q*P]
+    cand_i = jnp.concatenate(pid_parts, axis=-1)
 
-    init = (jnp.full((R, SR, K), BIG), jnp.full((R, SR, K), -1, jnp.int32))
-    (best_d, best_i), _ = jax.lax.scan(visit_voxel, init, offsets)
+    # K-step min-selection (cheaper than a full top_k sort for K << Q*P)
+    def select_min(carry, _):
+        cd, acc_d, acc_i, k = carry
+        am = jnp.argmin(cd, axis=-1)                           # [R, SR]
+        md = jnp.take_along_axis(cd, am[..., None], axis=-1)[..., 0]
+        mi = jnp.take_along_axis(cand_i, am[..., None], axis=-1)[..., 0]
+        acc_d = acc_d.at[:, :, k].set(md)
+        acc_i = acc_i.at[:, :, k].set(mi)
+        cd = jnp.where(
+            jax.nn.one_hot(am, cd.shape[-1], dtype=bool), BIG, cd)
+        return (cd, acc_d, acc_i, k + 1), None
+
+    acc_d0 = jnp.full((R, SR, K), BIG)
+    acc_i0 = jnp.full((R, SR, K), -1, jnp.int32)
+    (_, best_d, best_i, _), _ = jax.lax.scan(
+        select_min, (cand_d, acc_d0, acc_i0, 0), None, length=K)
 
     pnt_mask = (best_d < BIG) & sample_mask[..., None]
     sample_pidx = jnp.where(pnt_mask, best_i, -1)

@@ -49,8 +49,16 @@ class PointGrid(NamedTuple):
     coor2occ: jnp.ndarray     # [grid_capacity] i32, -1 = empty
     occ_dilated: jnp.ndarray  # [grid_capacity] i8, 1 = within query_size of points
     occ_pnts: jnp.ndarray     # [max_o, P] i32, -1 = empty slot
+    occ_pnt_xyz: jnp.ndarray  # [max_o, P, 3] f32, BIG sentinel on empty slots —
+    #   per-voxel point positions packed contiguously so the K-NN reads rows
+    #   instead of issuing R*SR*Q*P scalar gathers into the point cloud
     occ_numpnts: jnp.ndarray  # [max_o] i32
     num_occ: jnp.ndarray      # [] i32 — live occupied-voxel count
+
+
+# sentinel coordinate for empty bucket slots: distances computed against it
+# overflow any radius limit, so empty slots never win the top-K
+XYZ_SENTINEL = 1e9
 
 
 def compute_grid_geometry(xyz: np.ndarray, point_mask: np.ndarray,
@@ -155,15 +163,17 @@ def build_grid(xyz: jnp.ndarray, point_mask: jnp.ndarray, geom: GridGeometry,
     coor2occ = coor2occ.at[jnp.where(head & in_cap, svid, cap)].set(
         occ_idx, mode="drop")
 
-    # occ_pnts / occ_numpnts
+    # occ_pnts / occ_pnt_xyz / occ_numpnts
     occ_pnts = jnp.full((max_o, P), -1, jnp.int32)
     keep = in_cap & (rank < P)
-    occ_pnts = occ_pnts.at[
-        jnp.where(keep, occ_idx, max_o), jnp.clip(rank, 0, P - 1)
-    ].set(spid, mode="drop")
-    occ_numpnts = jnp.zeros((max_o,), jnp.int32).at[
-        jnp.where(keep, occ_idx, max_o)
-    ].add(1, mode="drop")
+    dest_o = jnp.where(keep, occ_idx, max_o)
+    dest_r = jnp.clip(rank, 0, P - 1)
+    occ_pnts = occ_pnts.at[dest_o, dest_r].set(spid, mode="drop")
+    occ_pnt_xyz = jnp.full((max_o, P, 3), XYZ_SENTINEL, jnp.float32)
+    occ_pnt_xyz = occ_pnt_xyz.at[dest_o, dest_r].set(
+        xyz[spid].astype(jnp.float32), mode="drop")
+    occ_numpnts = jnp.zeros((max_o,), jnp.int32).at[dest_o].add(
+        1, mode="drop")
 
     # occ_vid -> coords of each occupied voxel, for dilation
     occ_vid = jnp.full((max_o,), cap, jnp.int32).at[
@@ -190,5 +200,8 @@ def build_grid(xyz: jnp.ndarray, point_mask: jnp.ndarray, geom: GridGeometry,
 
     return PointGrid(
         geom=geom, coor2occ=coor2occ, occ_dilated=occ_dilated,
-        occ_pnts=occ_pnts, occ_numpnts=occ_numpnts,
+        occ_pnts=occ_pnts, occ_pnt_xyz=occ_pnt_xyz, occ_numpnts=occ_numpnts,
         num_occ=jnp.minimum(num_occ, max_o))
+
+
+build_grid_jit = jax.jit(build_grid, static_argnames="cfg")

@@ -1,10 +1,9 @@
-"""Second ablation: isolate KNN scan vs MLP stack."""
+"""Second ablation: isolate query vs MLP stack (grid passed as args!)."""
 import time, json, dataclasses
 import jax, jax.numpy as jnp
 import numpy as np
 from hybridneuralrendering_tpu import config as C
 from hybridneuralrendering_tpu.data.synthetic import make_synthetic_batch, make_synthetic_scene
-from hybridneuralrendering_tpu.models import blur as blur_mod
 from hybridneuralrendering_tpu.models import renderer
 from hybridneuralrendering_tpu.train import state as state_mod
 from hybridneuralrendering_tpu.train import step as step_mod
@@ -27,19 +26,16 @@ def run_step(tag, cfg, iters=8):
     jax.block_until_ready(items["loss_total"])
     print(json.dumps({"tag": tag, "step_ms": round((time.perf_counter()-t0)/iters*1e3,1)}), flush=True)
 
-# query alone (fwd only, jitted)
-qf = jax.jit(lambda k: Q.query_points(grid, points.xyz, batch["campos"], batch["raydir"],
+qf = jax.jit(lambda g, x, cp, rd, k: Q.query_points(g, x, cp, rd,
     base.querier, base.render.near_plane, base.render.far_plane, key=k, train=True))
-out = qf(key); jax.block_until_ready(out.sample_pidx)
+out = qf(grid, points.xyz, batch["campos"], batch["raydir"], key)
+jax.block_until_ready(out.sample_pidx)
 t0=time.perf_counter()
-for i in range(10): out = qf(jax.random.fold_in(key,i))
+for i in range(10):
+    out = qf(grid, points.xyz, batch["campos"], batch["raydir"], jax.random.fold_in(key,i))
 jax.block_until_ready(out.sample_pidx)
 print(json.dumps({"tag":"query_only_fwd", "step_ms": round((time.perf_counter()-t0)/10*1e3,1)}), flush=True)
 
-# single-voxel neighborhood (1 scan iter instead of 27)
-k1 = base.replace(querier=dataclasses.replace(base.querier, kernel_size=(1,1,1)))
-run_step("kernel_1x1x1", k1)
-
-# small MLPs (shading_feature_num 64)
+run_step("new_knn_full_noblur", base)
 small = base.replace(agg=dataclasses.replace(base.agg, shading_feature_num=128))
 run_step("shading_128", small)
