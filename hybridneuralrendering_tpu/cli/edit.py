@@ -100,7 +100,7 @@ def main(argv=None):
     points = merge_parts(parts, cfg)
     geom = VG.compute_grid_geometry(np.asarray(points.xyz),
                                     np.asarray(points.mask), cfg.querier)
-    grid = VG.build_grid(points.xyz, points.mask, geom, cfg.querier)
+    grid = VG.build_grid_jit(points.xyz, points.mask, geom, cfg.querier)
     vis.save_neural_points(np.asarray(points.xyz)[np.asarray(points.mask)],
                            0, np.asarray(points.color)[np.asarray(points.mask)])
     vis.log(f"merged scene: {int(points.num_live)} points; use cli.render_vid "

@@ -55,7 +55,7 @@ def main(argv=None):
 
     geom = VG.compute_grid_geometry(np.asarray(ts.points.xyz),
                                     np.asarray(ts.points.mask), cfg.querier)
-    grid = VG.build_grid(ts.points.xyz, ts.points.mask, geom, cfg.querier)
+    grid = VG.build_grid_jit(ts.points.xyz, ts.points.mask, geom, cfg.querier)
 
     class PathView:
         """Duck-typed dataset yielding poses along the spherical path."""

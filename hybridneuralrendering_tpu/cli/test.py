@@ -84,7 +84,7 @@ def main(argv=None):
 
     geom = VG.compute_grid_geometry(np.asarray(ts.points.xyz),
                                     np.asarray(ts.points.mask), cfg.querier)
-    grid = VG.build_grid(ts.points.xyz, ts.points.mask, geom, cfg.querier)
+    grid = VG.build_grid_jit(ts.points.xyz, ts.points.mask, geom, cfg.querier)
 
     n = args.num_frames or len(test_ds)
     preds, gts = [], []

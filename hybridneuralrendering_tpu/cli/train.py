@@ -137,7 +137,7 @@ def main(argv=None):
     vis.log(f"init cloud: {len(xyz)} points")
     points = npts.init_from_arrays(xyz, cfg.points, key=key)
     geom = VG.compute_grid_geometry(xyz, np.ones(len(xyz), bool), cfg.querier)
-    grid = VG.build_grid(points.xyz, points.mask, geom, cfg.querier)
+    grid = VG.build_grid_jit(points.xyz, points.mask, geom, cfg.querier)
 
     params = renderer.init_params(key, cfg)
     ts = state_mod.create_train_state(params, points, cfg)
@@ -149,7 +149,7 @@ def main(argv=None):
             geom = VG.compute_grid_geometry(
                 np.asarray(ts.points.xyz), np.asarray(ts.points.mask),
                 cfg.querier)
-            grid = VG.build_grid(ts.points.xyz, ts.points.mask, geom,
+            grid = VG.build_grid_jit(ts.points.xyz, ts.points.mask, geom,
                                  cfg.querier)
             vis.log(f"resumed from {latest} at step {int(ts.step)}")
 

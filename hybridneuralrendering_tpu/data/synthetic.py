@@ -43,7 +43,7 @@ def make_synthetic_scene(cfg: Config, num_points: int, seed: int = 0
         dirs=rng.normal(size=(len(xyz), 3)),
         key=jax.random.PRNGKey(seed))
     geom = VG.compute_grid_geometry(xyz, np.ones(len(xyz), bool), cfg.querier)
-    grid = VG.build_grid(points.xyz, points.mask, geom, cfg.querier)
+    grid = VG.build_grid_jit(points.xyz, points.mask, geom, cfg.querier)
     return points, grid
 
 

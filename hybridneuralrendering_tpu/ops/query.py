@@ -66,15 +66,20 @@ def query_points(grid: PointGrid, xyz: jnp.ndarray, campos: jnp.ndarray,
     occ_hit = grid.occ_dilated.at[cand_vid].get(
         mode="fill", fill_value=0) > 0                        # [R, D]
 
-    # 3. keep first SR hits per ray (cumsum compaction, :645-656)
-    cum = jnp.cumsum(occ_hit.astype(jnp.int32), axis=-1)
-    sel = occ_hit & (cum <= SR)
-    slot = jnp.where(sel, cum - 1, SR)                        # SR = drop slot
-    ray_idx = jnp.broadcast_to(jnp.arange(R)[:, None], (R, D))
-    sample_loc_w = jnp.zeros((R, SR, 3), raypos.dtype).at[
-        ray_idx, slot].set(raypos, mode="drop")
-    sample_mask = jnp.zeros((R, SR), jnp.bool_).at[
-        ray_idx, slot].set(True, mode="drop")
+    # 3. keep first SR hits per ray (cumsum compaction, :645-656).
+    #    The reference scatters hits into their slots; on TPU a scatter with
+    #    data-dependent indices serializes, so invert it: the s-th shading
+    #    point of a ray is the first candidate where the (monotone) hit count
+    #    reaches s+1 — a vmapped binary search, then row gathers.
+    cum = jnp.cumsum(occ_hit.astype(jnp.int32), axis=-1)      # [R, D]
+    targets = jnp.arange(1, SR + 1, dtype=jnp.int32)          # [SR]
+    idx = jax.vmap(
+        lambda c: jnp.searchsorted(c, targets, side="left"))(cum)  # [R, SR]
+    sample_mask = idx < D
+    idx_c = jnp.clip(idx, 0, D - 1)
+    sample_loc_w = jnp.take_along_axis(
+        raypos, idx_c[..., None], axis=1)                     # [R, SR, 3]
+    sample_loc_w = sample_loc_w * sample_mask[..., None].astype(raypos.dtype)
 
     # 4. exact K-NN over the kernel_size neighbor voxels.
     #

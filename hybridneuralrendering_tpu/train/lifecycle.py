@@ -161,7 +161,7 @@ def probe_and_grow(params, points: npts.NeuralPoints, grid, dataset,
                            new_mask)
     geom = VG.compute_grid_geometry(
         np.asarray(new_points.xyz), np.asarray(new_points.mask), cfg.querier)
-    new_grid = VG.build_grid(new_points.xyz, new_points.mask, geom,
+    new_grid = VG.build_grid_jit(new_points.xyz, new_points.mask, geom,
                              cfg.querier)
     if tracker is not None:
         tracker.reset()
@@ -173,5 +173,5 @@ def prune_and_rebuild(points: npts.NeuralPoints, cfg: Config):
     new_points = npts.prune(points, cfg.probe.prune_thresh)
     geom = VG.compute_grid_geometry(
         np.asarray(new_points.xyz), np.asarray(new_points.mask), cfg.querier)
-    return new_points, VG.build_grid(new_points.xyz, new_points.mask, geom,
+    return new_points, VG.build_grid_jit(new_points.xyz, new_points.mask, geom,
                                      cfg.querier)
