@@ -28,7 +28,26 @@ import numpy as np
 from hybridneuralrendering_tpu.config import QuerierConfig
 from hybridneuralrendering_tpu.core import rays as ray_gen
 from hybridneuralrendering_tpu.ops.voxel_grid import (
-    XYZ_SENTINEL, PointGrid, _neighbor_offsets, linearize, voxel_coords)
+    XYZ_SENTINEL, PointGrid, _neighbor_offsets, linearize, linearize_padz,
+    voxel_coords)
+
+
+def _window_gather_1d(table: jnp.ndarray, starts: jnp.ndarray, w: int,
+                      fill) -> jnp.ndarray:
+    """Gather length-`w` contiguous windows from a 1-D table.
+
+    starts: [...] int32 window starts; fully out-of-bounds starts (the
+    linearize sentinel) are dropped and filled.  One windowed gather fetches
+    what would otherwise be `w` scalar gathers."""
+    flat = starts.reshape(-1)[:, None]
+    out = jax.lax.gather(
+        table, flat,
+        jax.lax.GatherDimensionNumbers(
+            offset_dims=(1,), collapsed_slice_dims=(), start_index_map=(0,)),
+        slice_sizes=(w,),
+        mode=jax.lax.GatherScatterMode.FILL_OR_DROP,
+        fill_value=fill)
+    return out.reshape(starts.shape + (w,))
 
 
 class QueryResult(NamedTuple):
@@ -91,30 +110,38 @@ def query_points(grid: PointGrid, xyz: jnp.ndarray, campos: jnp.ndarray,
     radius2 = np.float32(cfg.radius_limit ** 2) if cfg.radius_limit > 0 \
         else np.float32(1e18)
     svox = voxel_coords(sample_loc_w, grid.geom)              # [R, SR, 3]
-    offsets = _neighbor_offsets(cfg.kernel_size)               # [Q, 3] np
-    Q_total = len(offsets)
     BIG = jnp.float32(1e30)
 
-    # distances for all candidates, computed in z-plane chunks to bound the
-    # transient [R, SR, chunk*P, 3] buffers
-    chunk = max(Q_total // 3, 1)
+    kx, ky, kz = cfg.kernel_size
+    xy_offsets = [(dx, dy)
+                  for dx in range(-(kx // 2), (kx + 1) // 2)
+                  for dy in range(-(ky // 2), (ky + 1) // 2)]
+
+    # the z-padded coor2occ layout turns each xy-offset's kz neighbor voxels
+    # into one contiguous window; bucket xyz rows are then gathered per
+    # occupied voxel.  Processed in xy chunks to bound the [R,SR,q*kz,P,3]
+    # transients.
+    chunk_xy = max(len(xy_offsets) // 3, 1)
     d2_parts, pid_parts = [], []
-    for c0 in range(0, Q_total, chunk):
-        off = jnp.asarray(offsets[c0:c0 + chunk])              # [q, 3]
-        nb_lin = linearize(
-            svox[:, :, None, :] + off[None, None, :, :], grid.geom, cap)
-        occ = grid.coor2occ.at[nb_lin].get(mode="fill",
-                                           fill_value=-1)     # [R, SR, q]
+    for c0 in range(0, len(xy_offsets), chunk_xy):
+        occ_cols = []
+        for dx, dy in xy_offsets[c0:c0 + chunk_xy]:
+            start = linearize_padz(
+                svox + jnp.asarray([dx, dy, -(kz // 2)], jnp.int32),
+                grid.geom, cap)
+            occ_cols.append(_window_gather_1d(
+                grid.coor2occ, start, kz, -1))                 # [R, SR, kz]
+        occ = jnp.concatenate(occ_cols, axis=-1)               # [R, SR, q*kz]
         occ_safe = jnp.where(occ >= 0, occ, grid.occ_pnts.shape[0] - 1)
-        # row gathers: [R, SR, q, P, ...]
+        # row gathers: [R, SR, q*kz, P, ...]
         pxyz = jnp.where((occ >= 0)[..., None, None],
                          grid.occ_pnt_xyz[occ_safe], XYZ_SENTINEL)
         pids = jnp.where((occ >= 0)[..., None],
                          grid.occ_pnts[occ_safe], -1)
         d2 = jnp.sum((pxyz - sample_loc_w[:, :, None, None, :]) ** 2,
-                     axis=-1)                                  # [R, SR, q, P]
+                     axis=-1)                                  # [R, SR, qkz, P]
         d2 = jnp.where(d2 <= radius2, d2, BIG)
-        q = off.shape[0]
+        q = occ.shape[-1]
         d2_parts.append(d2.reshape(R, SR, q * P))
         pid_parts.append(pids.reshape(R, SR, q * P))
     cand_d = jnp.concatenate(d2_parts, axis=-1)                # [R, SR, Q*P]

@@ -86,11 +86,12 @@ def compute_grid_geometry(xyz: np.ndarray, point_mask: np.ndarray,
     vdim = (mx - mn) / np.asarray(cfg.vsize, np.float32)
     dims = np.ceil(vdim / np.asarray(cfg.vscale, np.float32)).astype(np.int32)
     dims = np.maximum(dims, 1)
-    total = int(np.prod(dims.astype(np.int64)))
+    # capacity must cover the z-padded coor2occ layout (stride gz+2)
+    total = int(dims[0]) * int(dims[1]) * (int(dims[2]) + 2)
     if total > cfg.grid_capacity:
         raise ValueError(
-            f"voxel grid {tuple(dims)} = {total} voxels exceeds grid_capacity="
-            f"{cfg.grid_capacity}; enlarge capacity or vsize")
+            f"voxel grid {tuple(dims)} = {total} z-padded voxels exceeds "
+            f"grid_capacity={cfg.grid_capacity}; enlarge capacity or vsize")
     return GridGeometry(
         origin=jnp.asarray(mn, jnp.float32),
         dims=jnp.asarray(dims, jnp.int32),
@@ -110,6 +111,22 @@ def linearize(coords: jnp.ndarray, geom: GridGeometry,
     d = geom.dims
     inb = jnp.all((coords >= 0) & (coords < d), axis=-1)
     lin = (coords[..., 0] * d[1] + coords[..., 1]) * d[2] + coords[..., 2]
+    return jnp.where(inb, lin, capacity)
+
+
+def linearize_padz(coords: jnp.ndarray, geom: GridGeometry,
+                   capacity: int) -> jnp.ndarray:
+    """Linear id in the z-padded layout used by ``coor2occ``: the innermost
+    axis has one pad slot on each side (stride gz+2, offset +1), so a 3-wide
+    z-window around any in-bounds voxel is always a valid contiguous slice —
+    the whole kernel_size=3 neighborhood resolves with 9 windowed gathers
+    instead of 27 scalar gathers.  x/y out-of-bounds -> `capacity` sentinel."""
+    d = geom.dims
+    inb = ((coords[..., 0] >= 0) & (coords[..., 0] < d[0])
+           & (coords[..., 1] >= 0) & (coords[..., 1] < d[1])
+           & (coords[..., 2] >= -1) & (coords[..., 2] <= d[2]))
+    lin = ((coords[..., 0] * d[1] + coords[..., 1]) * (d[2] + 2)
+           + coords[..., 2] + 1)
     return jnp.where(inb, lin, capacity)
 
 
@@ -158,9 +175,12 @@ def build_grid(xyz: jnp.ndarray, point_mask: jnp.ndarray, geom: GridGeometry,
     seg_start = jax.lax.cummax(jnp.where(head, pos, -1))
     rank = pos - seg_start
 
-    # coor2occ: head entries scatter their compact index at their voxel id
+    # coor2occ: head entries scatter their compact index at their voxel id,
+    # in the z-padded layout (pad slots stay -1; see linearize_padz)
     coor2occ = jnp.full((cap,), -1, jnp.int32)
-    coor2occ = coor2occ.at[jnp.where(head & in_cap, svid, cap)].set(
+    d = geom.dims
+    svid_pad = (svid // d[2]) * (d[2] + 2) + (svid % d[2]) + 1
+    coor2occ = coor2occ.at[jnp.where(head & in_cap, svid_pad, cap)].set(
         occ_idx, mode="drop")
 
     # occ_pnts / occ_pnt_xyz / occ_numpnts

@@ -67,16 +67,17 @@ class TestVoxelGrid:
         vox = np.floor((xyz - np.asarray(geom.origin)) /
                        np.asarray(geom.vsize)).astype(np.int64)
         d = np.asarray(geom.dims)
-        lin = (vox[:, 0] * d[1] + vox[:, 1]) * d[2] + vox[:, 2]
+        # coor2occ lives in the z-padded layout (stride gz+2, offset +1)
+        lin_pad = (vox[:, 0] * d[1] + vox[:, 1]) * (d[2] + 2) + vox[:, 2] + 1
         for pid in range(0, len(xyz), 37):
-            o = coor2occ[lin[pid]]
+            o = coor2occ[lin_pad[pid]]
             assert o >= 0
             assert pid in occ_pnts[o][:occ_num[o]]
 
         # occupied-voxel count equals number of distinct voxels
-        assert num_occ == len(np.unique(lin))
+        assert num_occ == len(np.unique(lin_pad))
         # counts match
-        uniq, cnt = np.unique(lin, return_counts=True)
+        uniq, cnt = np.unique(lin_pad, return_counts=True)
         for u, c in zip(uniq[::7], cnt[::7]):
             assert occ_num[coor2occ[u]] == min(c, cfg.P)
 
@@ -113,10 +114,16 @@ class TestVoxelGrid:
         mask = np.ones(300, bool)
         geom = VG.compute_grid_geometry(xyz, mask, cfg)
         grid = VG.build_grid(jnp.asarray(xyz), jnp.asarray(mask), geom, cfg)
-        occ = np.asarray(grid.coor2occ) >= 0
+        # every point's own voxel (unpadded layout) must be dilated-occupied,
+        # and dilation strictly grows occupancy
+        d = np.asarray(geom.dims)
+        vox = np.floor((xyz - np.asarray(geom.origin)) /
+                       np.asarray(geom.vsize)).astype(np.int64)
+        lin = (vox[:, 0] * d[1] + vox[:, 1]) * d[2] + vox[:, 2]
         dil = np.asarray(grid.occ_dilated) > 0
-        assert (dil | ~occ).all()          # dil ⊇ occ
-        assert dil.sum() > occ.sum()       # strictly grew
+        assert dil[lin].all()
+        n_occ = int(grid.num_occ)
+        assert dil.sum() > n_occ
 
 
 class TestQuery:
