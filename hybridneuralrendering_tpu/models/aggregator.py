@@ -55,7 +55,45 @@ def dist_weight(name: str, dists: jnp.ndarray, pnt_mask: jnp.ndarray,
         return m / jnp.maximum(jnp.sum(jnp.square(dists), axis=-1), 1e-8)
     if name == "avg":
         return m
+    if name == "trilinear":
+        # point_aggregators.py:758-793: product of (1 - |d|/grid_vox) weights,
+        # normalized over K.  `dists` must be pre-scaled by grid voxel size by
+        # the caller (handled in dist_weight_ex).
+        d = 1.0 - jnp.abs(dists[..., :3])
+        w = m * d[..., 0] * d[..., 1] * d[..., 2]
+        return w / jnp.maximum(jnp.sum(w, axis=-1, keepdims=True), 1e-8)
     raise KeyError(f"unknown distance kernel {name}")
+
+
+def dist_weight_ex(name: str, dists: jnp.ndarray, pnt_mask: jnp.ndarray,
+                   embedding: jnp.ndarray, vsize, grid_vox_sz: float,
+                   sh_degree: int = 4):
+    """Extended kernels that consume embedding channels
+    (point_aggregators.py:864-891).  Returns (weights, remaining_embedding)."""
+    m = pnt_mask.astype(dists.dtype)
+    if name == "trilinear":
+        scaled = dists * m[..., None] / grid_vox_sz
+        return dist_weight("trilinear", scaled, pnt_mask), embedding
+    if name == "sh_intrp":
+        from hybridneuralrendering_tpu.core.sh import sh_basis
+        dist_norm = jnp.linalg.norm(dists, axis=-1)
+        dirs = dists / jnp.maximum(dist_norm[..., None], 1e-8)
+        nb = sh_degree ** 2
+        shall = sh_basis(dirs, sh_degree, flip_dir=False)
+        coefs = embedding[..., :nb]
+        w = m * jnp.sum(jax.nn.sigmoid(shall * coefs), axis=-1) * (
+            1.0 / jnp.maximum(dist_norm, 1e-8))
+        return w, embedding[..., nb:]
+    if name == "gau_intrp":
+        from hybridneuralrendering_tpu.core.geometrics import (
+            compute_world2local_dist)
+        scale = jnp.abs(embedding[..., 0])
+        radii = vsize[2] * 20.0 * jax.nn.sigmoid(embedding[..., 1:4])
+        rot = jnp.clip(embedding[..., 4:7], -np.pi / 4, np.pi / 4)
+        gau = compute_world2local_dist(dists[..., :3], radii, rot)
+        w = m * scale * jnp.exp(-0.5 * jnp.sum(jnp.square(gau), axis=-1))
+        return w, embedding[..., 7:]
+    return dist_weight(name, dists, pnt_mask), embedding
 
 
 def gradient_clamp(conf: jnp.ndarray, lo=0.0001, hi=1.0) -> jnp.ndarray:
@@ -82,10 +120,15 @@ def raw2color(raw: jnp.ndarray, act_super: bool) -> jnp.ndarray:
 # Parameter init (viewmlp_init, point_aggregators.py:484-751)
 # ---------------------------------------------------------------------------
 
-def block1_in_dim(cfg: AggregatorConfig) -> int:
+def block1_in_dim(cfg: AggregatorConfig, sh_degree: int = 4) -> int:
     dist_xyz_dim = (cfg.dist_dim if cfg.dist_xyz_freq == 0
                     else 2 * abs(cfg.dist_xyz_freq) * cfg.dist_dim)
     in_ch = cfg.point_features_dim
+    # sh/gau kernels consume leading embedding channels (viewmlp_init :546)
+    if cfg.agg_distance_kernel == "sh_intrp":
+        in_ch -= sh_degree ** 2
+    elif cfg.agg_distance_kernel == "gau_intrp":
+        in_ch -= 7
     in_ch += 2 * cfg.num_feat_freqs * in_ch if cfg.num_feat_freqs > 0 else 0
     in_ch += dist_xyz_dim if cfg.agg_intrp_order > 0 else 0
     return in_ch
@@ -261,7 +304,9 @@ def apply(params: Dict, cfg: AggregatorConfig, *,
                         sample_loc_w, sample_ray_dirs)           # [R,SR,K,C]
     dists = dists * pnt_mask[..., None].astype(f32)
 
-    weight = dist_weight(cfg.agg_distance_kernel, dists, pnt_mask)
+    weight, sampled_embedding = dist_weight_ex(
+        cfg.agg_distance_kernel, dists, pnt_mask, sampled_embedding, vsize,
+        grid_vox_sz=vsize[2])
     if (cfg.agg_weight_norm and cfg.agg_distance_kernel != "trilinear"
             and not cfg.agg_distance_kernel.startswith("num")):
         weight = weight / jnp.maximum(

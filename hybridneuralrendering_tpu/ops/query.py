@@ -109,8 +109,12 @@ def query_points(grid: PointGrid, xyz: jnp.ndarray, campos: jnp.ndarray,
     # ~R*SR*Q sequential row loads on TPU.
     radius2 = np.float32(cfg.radius_limit ** 2) if cfg.radius_limit > 0 \
         else np.float32(1e18)
-    svox = voxel_coords(sample_loc_w, grid.geom)              # [R, SR, 3]
     BIG = jnp.float32(1e30)
+    S = R * SR
+    # flat sample-major layout; rays are already coherent enough that voxel
+    # sorting was measured neutral (sort cost ~= locality gain)
+    loc_s = sample_loc_w.reshape(S, 3)
+    svox_s = voxel_coords(loc_s, grid.geom)                   # [S, 3]
 
     kx, ky, kz = cfg.kernel_size
     xy_offsets = [(dx, dy)
@@ -119,7 +123,7 @@ def query_points(grid: PointGrid, xyz: jnp.ndarray, campos: jnp.ndarray,
 
     # the z-padded coor2occ layout turns each xy-offset's kz neighbor voxels
     # into one contiguous window; bucket xyz rows are then gathered per
-    # occupied voxel.  Processed in xy chunks to bound the [R,SR,q*kz,P,3]
+    # occupied voxel.  Processed in xy chunks to bound the [S, q*kz, P, 3]
     # transients.
     chunk_xy = max(len(xy_offsets) // 3, 1)
     d2_parts, pid_parts = [], []
@@ -127,42 +131,45 @@ def query_points(grid: PointGrid, xyz: jnp.ndarray, campos: jnp.ndarray,
         occ_cols = []
         for dx, dy in xy_offsets[c0:c0 + chunk_xy]:
             start = linearize_padz(
-                svox + jnp.asarray([dx, dy, -(kz // 2)], jnp.int32),
+                svox_s + jnp.asarray([dx, dy, -(kz // 2)], jnp.int32),
                 grid.geom, cap)
             occ_cols.append(_window_gather_1d(
-                grid.coor2occ, start, kz, -1))                 # [R, SR, kz]
-        occ = jnp.concatenate(occ_cols, axis=-1)               # [R, SR, q*kz]
+                grid.coor2occ, start, kz, -1))                 # [S, kz]
+        occ = jnp.concatenate(occ_cols, axis=-1)               # [S, q*kz]
         occ_safe = jnp.where(occ >= 0, occ, grid.occ_pnts.shape[0] - 1)
-        # row gathers: [R, SR, q*kz, P, ...]
+        # row gathers: [S, q*kz, P, ...]
         pxyz = jnp.where((occ >= 0)[..., None, None],
                          grid.occ_pnt_xyz[occ_safe], XYZ_SENTINEL)
         pids = jnp.where((occ >= 0)[..., None],
                          grid.occ_pnts[occ_safe], -1)
-        d2 = jnp.sum((pxyz - sample_loc_w[:, :, None, None, :]) ** 2,
-                     axis=-1)                                  # [R, SR, qkz, P]
+        d2 = jnp.sum((pxyz - loc_s[:, None, None, :]) ** 2,
+                     axis=-1)                                  # [S, q*kz, P]
         d2 = jnp.where(d2 <= radius2, d2, BIG)
         q = occ.shape[-1]
-        d2_parts.append(d2.reshape(R, SR, q * P))
-        pid_parts.append(pids.reshape(R, SR, q * P))
-    cand_d = jnp.concatenate(d2_parts, axis=-1)                # [R, SR, Q*P]
+        d2_parts.append(d2.reshape(S, q * P))
+        pid_parts.append(pids.reshape(S, q * P))
+    cand_d = jnp.concatenate(d2_parts, axis=-1)                # [S, Q*P]
     cand_i = jnp.concatenate(pid_parts, axis=-1)
 
     # K-step min-selection (cheaper than a full top_k sort for K << Q*P)
     def select_min(carry, _):
         cd, acc_d, acc_i, k = carry
-        am = jnp.argmin(cd, axis=-1)                           # [R, SR]
-        md = jnp.take_along_axis(cd, am[..., None], axis=-1)[..., 0]
-        mi = jnp.take_along_axis(cand_i, am[..., None], axis=-1)[..., 0]
-        acc_d = acc_d.at[:, :, k].set(md)
-        acc_i = acc_i.at[:, :, k].set(mi)
+        am = jnp.argmin(cd, axis=-1)                           # [S]
+        md = jnp.take_along_axis(cd, am[:, None], axis=-1)[:, 0]
+        mi = jnp.take_along_axis(cand_i, am[:, None], axis=-1)[:, 0]
+        acc_d = acc_d.at[:, k].set(md)
+        acc_i = acc_i.at[:, k].set(mi)
         cd = jnp.where(
             jax.nn.one_hot(am, cd.shape[-1], dtype=bool), BIG, cd)
         return (cd, acc_d, acc_i, k + 1), None
 
-    acc_d0 = jnp.full((R, SR, K), BIG)
-    acc_i0 = jnp.full((R, SR, K), -1, jnp.int32)
-    (_, best_d, best_i, _), _ = jax.lax.scan(
+    acc_d0 = jnp.full((S, K), BIG)
+    acc_i0 = jnp.full((S, K), -1, jnp.int32)
+    (_, best_d_s, best_i_s, _), _ = jax.lax.scan(
         select_min, (cand_d, acc_d0, acc_i0, 0), None, length=K)
+
+    best_d = best_d_s.reshape(R, SR, K)
+    best_i = best_i_s.reshape(R, SR, K)
 
     pnt_mask = (best_d < BIG) & sample_mask[..., None]
     sample_pidx = jnp.where(pnt_mask, best_i, -1)

@@ -345,3 +345,48 @@ class TestAttentionFusion:
         out = renderer.render(params, points, grid, batch, cfg, train=True,
                               key=jax.random.PRNGKey(1))
         assert np.isfinite(np.asarray(out["coarse_raycolor"])).all()
+
+
+class TestDistanceKernelVariants:
+    def _inputs(self, C=6, F=32):
+        rng = np.random.default_rng(0)
+        dists = jnp.asarray(rng.normal(0, 0.05, (2, 3, 4, C)).astype(np.float32))
+        mask = jnp.asarray(rng.random((2, 3, 4)) > 0.3)
+        emb = jnp.asarray(rng.normal(size=(2, 3, 4, F)).astype(np.float32))
+        return dists, mask, emb
+
+    def test_trilinear_normalized(self):
+        d, m, e = self._inputs()
+        w, e2 = agg.dist_weight_ex("trilinear", d, m, e, (0.1, 0.1, 0.1), 0.1)
+        assert e2.shape == e.shape
+        s = np.asarray(jnp.sum(w, -1))
+        valid = np.asarray(m).any(-1)
+        np.testing.assert_allclose(s[valid], 1.0, rtol=1e-4)
+
+    def test_sh_intrp_consumes_embedding(self):
+        d, m, e = self._inputs()
+        w, e2 = agg.dist_weight_ex("sh_intrp", d, m, e, (0.1, 0.1, 0.1), 0.1,
+                                   sh_degree=3)
+        assert e2.shape[-1] == 32 - 9
+        assert np.isfinite(np.asarray(w)).all()
+        assert (np.asarray(w)[~np.asarray(m)] == 0).all()
+
+    def test_gau_intrp_consumes_embedding(self):
+        d, m, e = self._inputs()
+        w, e2 = agg.dist_weight_ex("gau_intrp", d, m, e, (0.1, 0.1, 0.1), 0.1)
+        assert e2.shape[-1] == 32 - 7
+        assert np.isfinite(np.asarray(w)).all()
+        assert (np.asarray(w) >= 0).all()
+
+    def test_renderer_with_sh_kernel(self):
+        import dataclasses
+        cfg = tiny()
+        cfg = cfg.replace(
+            points=dataclasses.replace(cfg.points, feature_dim=32),
+            agg=dataclasses.replace(cfg.agg, agg_distance_kernel="sh_intrp",
+                                    point_features_dim=32))
+        points, grid = make_scene(cfg)
+        batch = make_batch(cfg)
+        params = renderer.init_params(jax.random.PRNGKey(0), cfg)
+        out = renderer.render(params, points, grid, batch, cfg)
+        assert np.isfinite(np.asarray(out["coarse_raycolor"])).all()
