@@ -50,6 +50,84 @@ def _window_gather_1d(table: jnp.ndarray, starts: jnp.ndarray, w: int,
     return out.reshape(starts.shape + (w,))
 
 
+def knn_over_grid(grid: PointGrid, sample_loc: jnp.ndarray,
+                  sample_mask: jnp.ndarray, cfg: QuerierConfig):
+    """Exact K nearest grid points for each shading sample.
+
+    sample_loc: [R, SR, 3] in the grid's coordinate system (world or
+    perspective); sample_mask: [R, SR].  Returns (best_d2 [R, SR, K] with BIG
+    in empty slots, best_pid [R, SR, K]).
+
+    Candidate point coordinates come from the grid's packed [max_o, P, 3]
+    buckets (contiguous row gathers; empty slots carry a far sentinel so their
+    distances never win) instead of per-candidate scalar gathers into the
+    [N, 3] cloud — the difference between ~R*SR*Q*P random loads and ~R*SR*Q
+    sequential row loads on TPU.  Selection is a K-step argmin+mask pass,
+    cheaper than a full top_k sort for K << Q*P.
+    """
+    R, SR, _ = sample_loc.shape
+    K, P = cfg.K, cfg.P
+    cap = cfg.grid_capacity
+    radius2 = np.float32(cfg.radius_limit ** 2) if cfg.radius_limit > 0 \
+        else np.float32(1e18)
+    BIG = jnp.float32(1e30)
+    S = R * SR
+    loc_s = sample_loc.reshape(S, 3)
+    svox_s = voxel_coords(loc_s, grid.geom)                   # [S, 3]
+
+    kx, ky, kz = cfg.kernel_size
+    xy_offsets = [(dx, dy)
+                  for dx in range(-(kx // 2), (kx + 1) // 2)
+                  for dy in range(-(ky // 2), (ky + 1) // 2)]
+
+    # the z-padded coor2occ layout turns each xy-offset's kz neighbor voxels
+    # into one contiguous window; bucket xyz rows are then gathered per
+    # occupied voxel.  Processed in xy chunks to bound the [S, q*kz, P, 3]
+    # transients.
+    chunk_xy = max(len(xy_offsets) // 3, 1)
+    d2_parts, pid_parts = [], []
+    for c0 in range(0, len(xy_offsets), chunk_xy):
+        occ_cols = []
+        for dx, dy in xy_offsets[c0:c0 + chunk_xy]:
+            start = linearize_padz(
+                svox_s + jnp.asarray([dx, dy, -(kz // 2)], jnp.int32),
+                grid.geom, cap)
+            occ_cols.append(_window_gather_1d(
+                grid.coor2occ, start, kz, -1))                 # [S, kz]
+        occ = jnp.concatenate(occ_cols, axis=-1)               # [S, q*kz]
+        occ_safe = jnp.where(occ >= 0, occ, grid.occ_pnts.shape[0] - 1)
+        # row gathers: [S, q*kz, P, ...]
+        pxyz = jnp.where((occ >= 0)[..., None, None],
+                         grid.occ_pnt_xyz[occ_safe], XYZ_SENTINEL)
+        pids = jnp.where((occ >= 0)[..., None],
+                         grid.occ_pnts[occ_safe], -1)
+        d2 = jnp.sum((pxyz - loc_s[:, None, None, :]) ** 2,
+                     axis=-1)                                  # [S, q*kz, P]
+        d2 = jnp.where(d2 <= radius2, d2, BIG)
+        q = occ.shape[-1]
+        d2_parts.append(d2.reshape(S, q * P))
+        pid_parts.append(pids.reshape(S, q * P))
+    cand_d = jnp.concatenate(d2_parts, axis=-1)                # [S, Q*P]
+    cand_i = jnp.concatenate(pid_parts, axis=-1)
+
+    def select_min(carry, _):
+        cd, acc_d, acc_i, k = carry
+        am = jnp.argmin(cd, axis=-1)                           # [S]
+        md = jnp.take_along_axis(cd, am[:, None], axis=-1)[:, 0]
+        mi = jnp.take_along_axis(cand_i, am[:, None], axis=-1)[:, 0]
+        acc_d = acc_d.at[:, k].set(md)
+        acc_i = acc_i.at[:, k].set(mi)
+        cd = jnp.where(
+            jax.nn.one_hot(am, cd.shape[-1], dtype=bool), BIG, cd)
+        return (cd, acc_d, acc_i, k + 1), None
+
+    acc_d0 = jnp.full((S, K), BIG)
+    acc_i0 = jnp.full((S, K), -1, jnp.int32)
+    (_, best_d_s, best_i_s, _), _ = jax.lax.scan(
+        select_min, (cand_d, acc_d0, acc_i0, 0), None, length=K)
+    return best_d_s.reshape(R, SR, K), best_i_s.reshape(R, SR, K)
+
+
 class QueryResult(NamedTuple):
     sample_pidx: jnp.ndarray    # [R, SR, K] i32 point ids, -1 = empty
     sample_loc_w: jnp.ndarray   # [R, SR, 3] world-space shading locations
@@ -100,78 +178,10 @@ def query_points(grid: PointGrid, xyz: jnp.ndarray, campos: jnp.ndarray,
         raypos, idx_c[..., None], axis=1)                     # [R, SR, 3]
     sample_loc_w = sample_loc_w * sample_mask[..., None].astype(raypos.dtype)
 
-    # 4. exact K-NN over the kernel_size neighbor voxels.
-    #
-    # Candidate point coordinates come from the grid's packed [max_o, P, 3]
-    # buckets (contiguous row gathers; empty slots carry a far sentinel so
-    # their distances never win) instead of per-candidate scalar gathers into
-    # the [N, 3] cloud — the difference between ~R*SR*Q*P random loads and
-    # ~R*SR*Q sequential row loads on TPU.
-    radius2 = np.float32(cfg.radius_limit ** 2) if cfg.radius_limit > 0 \
-        else np.float32(1e18)
-    BIG = jnp.float32(1e30)
-    S = R * SR
-    # flat sample-major layout; rays are already coherent enough that voxel
-    # sorting was measured neutral (sort cost ~= locality gain)
-    loc_s = sample_loc_w.reshape(S, 3)
-    svox_s = voxel_coords(loc_s, grid.geom)                   # [S, 3]
+    # 4. exact K-NN over the kernel_size neighbor voxels
+    best_d, best_i = knn_over_grid(grid, sample_loc_w, sample_mask, cfg)
 
-    kx, ky, kz = cfg.kernel_size
-    xy_offsets = [(dx, dy)
-                  for dx in range(-(kx // 2), (kx + 1) // 2)
-                  for dy in range(-(ky // 2), (ky + 1) // 2)]
-
-    # the z-padded coor2occ layout turns each xy-offset's kz neighbor voxels
-    # into one contiguous window; bucket xyz rows are then gathered per
-    # occupied voxel.  Processed in xy chunks to bound the [S, q*kz, P, 3]
-    # transients.
-    chunk_xy = max(len(xy_offsets) // 3, 1)
-    d2_parts, pid_parts = [], []
-    for c0 in range(0, len(xy_offsets), chunk_xy):
-        occ_cols = []
-        for dx, dy in xy_offsets[c0:c0 + chunk_xy]:
-            start = linearize_padz(
-                svox_s + jnp.asarray([dx, dy, -(kz // 2)], jnp.int32),
-                grid.geom, cap)
-            occ_cols.append(_window_gather_1d(
-                grid.coor2occ, start, kz, -1))                 # [S, kz]
-        occ = jnp.concatenate(occ_cols, axis=-1)               # [S, q*kz]
-        occ_safe = jnp.where(occ >= 0, occ, grid.occ_pnts.shape[0] - 1)
-        # row gathers: [S, q*kz, P, ...]
-        pxyz = jnp.where((occ >= 0)[..., None, None],
-                         grid.occ_pnt_xyz[occ_safe], XYZ_SENTINEL)
-        pids = jnp.where((occ >= 0)[..., None],
-                         grid.occ_pnts[occ_safe], -1)
-        d2 = jnp.sum((pxyz - loc_s[:, None, None, :]) ** 2,
-                     axis=-1)                                  # [S, q*kz, P]
-        d2 = jnp.where(d2 <= radius2, d2, BIG)
-        q = occ.shape[-1]
-        d2_parts.append(d2.reshape(S, q * P))
-        pid_parts.append(pids.reshape(S, q * P))
-    cand_d = jnp.concatenate(d2_parts, axis=-1)                # [S, Q*P]
-    cand_i = jnp.concatenate(pid_parts, axis=-1)
-
-    # K-step min-selection (cheaper than a full top_k sort for K << Q*P)
-    def select_min(carry, _):
-        cd, acc_d, acc_i, k = carry
-        am = jnp.argmin(cd, axis=-1)                           # [S]
-        md = jnp.take_along_axis(cd, am[:, None], axis=-1)[:, 0]
-        mi = jnp.take_along_axis(cand_i, am[:, None], axis=-1)[:, 0]
-        acc_d = acc_d.at[:, k].set(md)
-        acc_i = acc_i.at[:, k].set(mi)
-        cd = jnp.where(
-            jax.nn.one_hot(am, cd.shape[-1], dtype=bool), BIG, cd)
-        return (cd, acc_d, acc_i, k + 1), None
-
-    acc_d0 = jnp.full((S, K), BIG)
-    acc_i0 = jnp.full((S, K), -1, jnp.int32)
-    (_, best_d_s, best_i_s, _), _ = jax.lax.scan(
-        select_min, (cand_d, acc_d0, acc_i0, 0), None, length=K)
-
-    best_d = best_d_s.reshape(R, SR, K)
-    best_i = best_i_s.reshape(R, SR, K)
-
-    pnt_mask = (best_d < BIG) & sample_mask[..., None]
+    pnt_mask = (best_d < 1e29) & sample_mask[..., None]
     sample_pidx = jnp.where(pnt_mask, best_i, -1)
 
     # 5. rays keep their mask only if any shading point found neighbors
