@@ -232,3 +232,40 @@ class TestNativeSampler:
                                        rtol=1e-6)
         assert got == set(tickets)
         pipe.close()
+
+
+class TestPaths:
+    def test_render_path_interpolates(self):
+        from hybridneuralrendering_tpu.data import paths
+        c2ws = np.stack([np.eye(4)] * 3)
+        c2ws[1, :3, 3] = [1, 0, 0]
+        c2ws[2, :3, 3] = [1, 1, 0]
+        out = paths.gen_render_path(c2ws, n_views=30)
+        assert out.shape[1:] == (4, 4)
+        # positions stay within the hull of keys (plus closure back to start)
+        assert out[:, :3, 3].min() >= -1e-6
+        assert out[:, :3, 3].max() <= 1.0 + 1e-6
+        # rotations remain orthonormal
+        for m in out[::5]:
+            np.testing.assert_allclose(m[:3, :3] @ m[:3, :3].T, np.eye(3),
+                                       atol=1e-6)
+
+    def test_euler_roundtrip(self):
+        from hybridneuralrendering_tpu.data import paths
+        rng = np.random.default_rng(0)
+        for _ in range(10):
+            deg = rng.uniform(-80, 80, 3)
+            m = paths._matrix_from_euler_xyz(deg)
+            back = paths._euler_xyz_from_matrix(m)
+            np.testing.assert_allclose(back, deg, atol=1e-6)
+
+    def test_view_triplets(self):
+        from hybridneuralrendering_tpu.data import paths
+        rng = np.random.default_rng(1)
+        pos = rng.normal(size=(20, 3))
+        tris = paths.build_view_triplets(pos)
+        assert len(tris) >= 10
+        covered = set(i for t in tris for i in t)
+        assert covered == set(range(20))
+        for t in tris:
+            assert len(set(t)) == 3
