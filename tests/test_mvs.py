@@ -162,3 +162,35 @@ class TestGeometricFilter:
                                      geo_cnsst_num=2)
         assert bool(np.asarray(mask).all())
         np.testing.assert_allclose(np.asarray(avg), 2.0, rtol=1e-4)
+
+
+class TestBootstrap:
+    def test_feedforward_bootstrap_gt_depth(self):
+        from hybridneuralrendering_tpu import config as C
+        from hybridneuralrendering_tpu.train import bootstrap
+        cfg = C.tiny_test()
+        params = point_gen.init(jax.random.PRNGKey(0),
+                                point_features_dim=cfg.points.feature_dim,
+                                use_mvsnet=False)
+        H, W = 24, 32
+        k = np.array([[30.0, 0, 16], [0, 30.0, 12], [0, 0, 1]], np.float32)
+        rng = np.random.default_rng(0)
+        groups_imgs, groups_w2cs, groups_depth = [], [], []
+        for g in range(2):
+            imgs = rng.uniform(0, 1, (3, H, W, 3)).astype(np.float32)
+            w2cs = np.stack([np.eye(4, dtype=np.float32)] * 3)
+            w2cs[1, 0, 3] = 0.1 * (g + 1)
+            w2cs[2, 1, 3] = 0.1
+            depth = np.full((H, W), 1.5 + 0.2 * g, np.float32)
+            groups_imgs.append(imgs)
+            groups_w2cs.append(w2cs)
+            groups_depth.append(depth)
+        xyz, attrs = bootstrap.bootstrap_from_groups(
+            params, groups_imgs, k, groups_w2cs, 0.5, 3.0, cfg,
+            depth_gt_by_group=groups_depth, vox_res=16)
+        assert len(xyz) > 10
+        assert attrs["embedding"].shape == (len(xyz), cfg.points.feature_dim)
+        assert np.isfinite(attrs["embedding"]).all()
+        assert (attrs["conf"] > 0).all()
+        # depths reconstruct to the GT planes
+        assert xyz[:, 2].min() > 1.2 and xyz[:, 2].max() < 1.9
