@@ -96,14 +96,20 @@ def knn_over_grid(grid: PointGrid, sample_loc: jnp.ndarray,
                 grid.coor2occ, start, kz, -1))                 # [S, kz]
         occ = jnp.concatenate(occ_cols, axis=-1)               # [S, q*kz]
         occ_safe = jnp.where(occ >= 0, occ, grid.occ_pnts.shape[0] - 1)
-        # row gathers: [S, q*kz, P, ...]
-        pxyz = jnp.where((occ >= 0)[..., None, None],
-                         grid.occ_pnt_xyz[occ_safe], XYZ_SENTINEL)
-        pids = jnp.where((occ >= 0)[..., None],
-                         grid.occ_pnts[occ_safe], -1)
-        d2 = jnp.sum((pxyz - loc_s[:, None, None, :]) ** 2,
-                     axis=-1)                                  # [S, q*kz, P]
-        d2 = jnp.where(d2 <= radius2, d2, BIG)
+        # ONE lane-aligned row gather per voxel: planar [x|y|z|pid] bucket
+        bucket = grid.occ_bucket[occ_safe]                     # [S, q*kz, BW]
+        valid_vox = (occ >= 0)[..., None]
+        px = bucket[..., 0 * P: 1 * P]
+        py = bucket[..., 1 * P: 2 * P]
+        pz = bucket[..., 2 * P: 3 * P]
+        pids = jax.lax.bitcast_convert_type(
+            bucket[..., 3 * P: 4 * P], jnp.int32)
+        pids = jnp.where(valid_vox, pids, -1)
+        lx = loc_s[:, None, None, 0]
+        ly = loc_s[:, None, None, 1]
+        lz = loc_s[:, None, None, 2]
+        d2 = (px - lx) ** 2 + (py - ly) ** 2 + (pz - lz) ** 2  # [S, q*kz, P]
+        d2 = jnp.where((d2 <= radius2) & valid_vox, d2, BIG)
         q = occ.shape[-1]
         d2_parts.append(d2.reshape(S, q * P))
         pid_parts.append(pids.reshape(S, q * P))

@@ -49,9 +49,11 @@ class PointGrid(NamedTuple):
     coor2occ: jnp.ndarray     # [grid_capacity] i32, -1 = empty
     occ_dilated: jnp.ndarray  # [grid_capacity] i8, 1 = within query_size of points
     occ_pnts: jnp.ndarray     # [max_o, P] i32, -1 = empty slot
-    occ_pnt_xyz: jnp.ndarray  # [max_o, P, 3] f32, BIG sentinel on empty slots —
-    #   per-voxel point positions packed contiguously so the K-NN reads rows
-    #   instead of issuing R*SR*Q*P scalar gathers into the point cloud
+    occ_pnt_xyz: jnp.ndarray  # [max_o, P, 3] f32, BIG sentinel on empty slots
+    occ_bucket: jnp.ndarray   # [max_o, BW] f32 — lane-aligned packed bucket:
+    #   planar [x(P) | y(P) | z(P) | pid-bitcast(P) | pad] rounded up to a
+    #   multiple of 128 floats, so the K-NN fetches one aligned row per voxel
+    #   instead of small unaligned xyz/pid rows (the gather-bandwidth fix)
     occ_numpnts: jnp.ndarray  # [max_o] i32
     num_occ: jnp.ndarray      # [] i32 — live occupied-voxel count
 
@@ -59,6 +61,11 @@ class PointGrid(NamedTuple):
 # sentinel coordinate for empty bucket slots: distances computed against it
 # overflow any radius limit, so empty slots never win the top-K
 XYZ_SENTINEL = 1e9
+
+
+def bucket_width(P: int) -> int:
+    """Packed bucket row width: 4 planes of P floats, lane-aligned to 128."""
+    return -(-(4 * P) // 128) * 128
 
 
 def compute_grid_geometry(xyz: np.ndarray, point_mask: np.ndarray,
@@ -218,10 +225,17 @@ def build_grid(xyz: jnp.ndarray, point_mask: jnp.ndarray, geom: GridGeometry,
     occ_dilated = jnp.zeros((cap,), jnp.int8)
     occ_dilated, _ = jax.lax.scan(scatter_offset, occ_dilated, offsets)
 
+    # lane-aligned packed bucket: [x | y | z | pid(bitcast) | pad]
+    BW = bucket_width(P)
+    pid_f = jax.lax.bitcast_convert_type(occ_pnts, jnp.float32)
+    occ_bucket = jnp.concatenate([
+        occ_pnt_xyz[..., 0], occ_pnt_xyz[..., 1], occ_pnt_xyz[..., 2], pid_f,
+        jnp.zeros((max_o, BW - 4 * P), jnp.float32)], axis=-1)
+
     return PointGrid(
         geom=geom, coor2occ=coor2occ, occ_dilated=occ_dilated,
-        occ_pnts=occ_pnts, occ_pnt_xyz=occ_pnt_xyz, occ_numpnts=occ_numpnts,
-        num_occ=jnp.minimum(num_occ, max_o))
+        occ_pnts=occ_pnts, occ_pnt_xyz=occ_pnt_xyz, occ_bucket=occ_bucket,
+        occ_numpnts=occ_numpnts, num_occ=jnp.minimum(num_occ, max_o))
 
 
 build_grid_jit = jax.jit(build_grid, static_argnames="cfg")
