@@ -129,6 +129,10 @@ class AggregatorConfig:
     agg_color_xyz_mode: str = "None"
     point_color_mode: str = "1"   # '1': per-point color feeds block3
     point_dir_mode: str = "1"     # '1': per-point dir-delta feeds block3
+    # 'bfloat16' runs the shading MLPs / CNN matmuls in bf16 on the MXU with
+    # f32 master weights; 'float32' = full precision.  Measured ~neutral on
+    # throughput (the step is gather/memory-bound), so f32 stays the default.
+    compute_dtype: str = "float32"
 
     # Hybrid rendering (image-based branch).
     use_nearest: int = 4                  # number of nearby training views fused

@@ -298,6 +298,7 @@ def apply(params: Dict, cfg: AggregatorConfig, *,
     """
     R, SR, K, _ = sampled_xyz.shape
     f32 = sampled_xyz.dtype
+    cdt = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None
 
     ray_valid = jnp.any(pnt_mask, axis=-1)                       # [R, SR]
     dists = build_dists(cfg, sampled_xyz, sampled_xyz_pers, sample_loc,
@@ -330,10 +331,10 @@ def apply(params: Dict, cfg: AggregatorConfig, *,
             [feat, positional_encoding(feat, cfg.num_feat_freqs)], axis=-1)
     feat = jnp.concatenate([feat, dists_enc], axis=-1)
 
-    feat = mlp.mlp_apply(params["block1"], feat, cfg.act_type, final_act=True)
+    feat = mlp.mlp_apply(params["block1"], feat, cfg.act_type, final_act=True, compute_dtype=cdt)
     if cfg.shading_feature_mlp_layer2 > 0:
         feat = mlp.mlp_apply(params["block2"], feat, cfg.act_type,
-                             final_act=True)
+                             final_act=True, compute_dtype=cdt)
 
     # viewdirs: PE with raw prefix; ori part feeds the dir-delta features
     vdirs = positional_encoding(sample_ray_dirs, cfg.num_viewdir_freqs,
@@ -351,12 +352,12 @@ def apply(params: Dict, cfg: AggregatorConfig, *,
             parts += [dir_delta, dir_dot]
         feat = mlp.mlp_apply(params["block3"],
                              jnp.concatenate(parts, axis=-1),
-                             cfg.act_type, final_act=True)
+                             cfg.act_type, final_act=True, compute_dtype=cdt)
 
     mask_f = pnt_mask[..., None].astype(f32)
     # per-neighbor alpha, aggregated with conf-scaled weights (order 2)
     alpha_pnt = raw2density(
-        mlp.mlp_apply(params["alpha"], feat, cfg.act_type), cfg.act_super)
+        mlp.mlp_apply(params["alpha"], feat, cfg.act_type, compute_dtype=cdt), cfg.act_super)
     alpha = jnp.sum(alpha_pnt * mask_f * w, axis=-2)             # [R, SR, 1]
     feat_agg = jnp.sum(feat * mask_f * w, axis=-2)               # [R, SR, F]
 
@@ -364,7 +365,8 @@ def apply(params: Dict, cfg: AggregatorConfig, *,
     vd = jnp.zeros_like(vdirs_enc) if cfg.disable_viewdirs else vdirs_enc
     color_in = jnp.concatenate([feat_agg, vd], axis=-1)
     color_feature = mlp.mlp_apply(params["color_feature"], color_in,
-                                  cfg.act_type, final_act=True)  # [R,SR,half]
+                                  cfg.act_type, final_act=True,
+                                  compute_dtype=cdt)              # [R,SR,half]
     if cfg.disable_color_feature:
         color_feature = color_feature * 0.0
 
@@ -403,7 +405,7 @@ def apply(params: Dict, cfg: AggregatorConfig, *,
                 fw_in.append(delta_viewdir_n)
             fusion_w = jax.nn.sigmoid(mlp.mlp_apply(
                 params["fusion_weight"], jnp.concatenate(fw_in, axis=-1),
-                cfg.act_type))                                    # [V,R,SR,1]
+                cfg.act_type, compute_dtype=cdt))                 # [V,R,SR,1]
             fusion_w = fusion_w * valid[..., None].astype(f32)
             if cfg.downweight_blurry_feats and frame_weight_n is not None:
                 fusion_w = fusion_w * frame_weight_n[:, None, None, None]
@@ -426,7 +428,8 @@ def apply(params: Dict, cfg: AggregatorConfig, *,
             mixed = (1 - bw) * intrinsic + bw * merged
         else:
             mixed = mlp.mlp_apply(params["mixup"], mix_in, cfg.act_type,
-                                  final_act=not cfg.learn_residuals)
+                                  final_act=not cfg.learn_residuals,
+                                  compute_dtype=cdt)
         if cfg.learn_residuals:
             mixed = mixed + intrinsic
         color_feature_mix = jnp.concatenate([mixed, view_part], axis=-1)
@@ -439,7 +442,7 @@ def apply(params: Dict, cfg: AggregatorConfig, *,
         else:
             color_feature_mix = mlp.mlp_apply(
                 params["mixup"], mix_in, cfg.act_type,
-                final_act=not cfg.learn_residuals)
+                final_act=not cfg.learn_residuals, compute_dtype=cdt)
         if cfg.learn_residuals:
             color_feature_mix = color_feature_mix + color_feature
 
@@ -454,7 +457,8 @@ def apply(params: Dict, cfg: AggregatorConfig, *,
         rgb = rgb_pnt * dm + rgb_mix * (1 - dm)
     else:
         rgb = raw2color(mlp.mlp_apply(params["color_final"],
-                                      color_feature_mix, cfg.act_type),
+                                      color_feature_mix, cfg.act_type,
+                                      compute_dtype=cdt),
                         cfg.act_super)
 
     out = jnp.concatenate([alpha, rgb], axis=-1)                 # [R, SR, 4]

@@ -38,17 +38,18 @@ def init(key, act: str = "leaky_relu", in_ch: int = 3) -> Dict:
     }
 
 
-def apply(params: Dict, images: jnp.ndarray,
-          act: str = "leaky_relu") -> jnp.ndarray:
+def apply(params: Dict, images: jnp.ndarray, act: str = "leaky_relu",
+          compute_dtype=None) -> jnp.ndarray:
     """images: [V, H, W, 3] -> [V, H, W, 45] feature pyramid."""
     f = mlp.activation(act)
+    cdt = compute_dtype
     V, H, W, _ = images.shape
-    s1 = f(mlp.conv2d_apply(params["s1a"], images, stride=2))
-    s1 = f(mlp.conv2d_apply(params["s1b"], s1))
-    s2 = f(mlp.conv2d_apply(params["s2a"], s1, stride=2))
-    s2 = f(mlp.conv2d_apply(params["s2b"], s2))
-    s3 = f(mlp.conv2d_apply(params["s3a"], s2, stride=2))
-    s3 = f(mlp.conv2d_apply(params["s3b"], s3))
+    s1 = f(mlp.conv2d_apply(params["s1a"], images, stride=2, compute_dtype=cdt))
+    s1 = f(mlp.conv2d_apply(params["s1b"], s1, compute_dtype=cdt))
+    s2 = f(mlp.conv2d_apply(params["s2a"], s1, stride=2, compute_dtype=cdt))
+    s2 = f(mlp.conv2d_apply(params["s2b"], s2, compute_dtype=cdt))
+    s3 = f(mlp.conv2d_apply(params["s3a"], s2, stride=2, compute_dtype=cdt))
+    s3 = f(mlp.conv2d_apply(params["s3b"], s3, compute_dtype=cdt))
     return jnp.concatenate([
         images,
         mlp.bilinear_resize(s1, H, W),

@@ -54,7 +54,15 @@ def linear_init(key, in_dim: int, out_dim: int, gain: float = 1.0) -> Dict:
     return {"w": w, "b": b}
 
 
-def linear_apply(p: Dict, x: jnp.ndarray) -> jnp.ndarray:
+def linear_apply(p: Dict, x: jnp.ndarray, compute_dtype=None) -> jnp.ndarray:
+    """x @ w + b; with `compute_dtype` (e.g. bf16) the matmul runs in that
+    dtype on the MXU while accumulating in f32 (master weights stay f32)."""
+    if compute_dtype is not None:
+        y = jax.lax.dot_general(
+            x.astype(compute_dtype), p["w"].astype(compute_dtype),
+            (((x.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        return y + p["b"]
     return x @ p["w"] + p["b"]
 
 
@@ -74,11 +82,11 @@ def mlp_init(key, dims: Sequence[int], act: str,
 
 
 def mlp_apply(layers: List[Dict], x: jnp.ndarray, act: str,
-              final_act: bool = False) -> jnp.ndarray:
+              final_act: bool = False, compute_dtype=None) -> jnp.ndarray:
     fn = activation(act)
     n = len(layers)
     for i, p in enumerate(layers):
-        x = linear_apply(p, x)
+        x = linear_apply(p, x, compute_dtype)
         if final_act or i < n - 1:
             x = fn(x)
     return x
@@ -96,11 +104,19 @@ def conv2d_init(key, in_ch: int, out_ch: int, ksize: int,
 
 
 def conv2d_apply(p: Dict, x: jnp.ndarray, stride: int = 1,
-                 padding: str = "SAME") -> jnp.ndarray:
+                 padding: str = "SAME", compute_dtype=None) -> jnp.ndarray:
     """x: [B, H, W, C] (NHWC — the TPU-native conv layout)."""
+    w = p["w"]
+    orig_dtype = x.dtype
+    if compute_dtype is not None:
+        # uniform-dtype conv (the transpose rule rejects mixed dtypes with a
+        # preferred_element_type); TPU convs accumulate in f32 internally
+        x, w = x.astype(compute_dtype), w.astype(compute_dtype)
     out = jax.lax.conv_general_dilated(
-        x, p["w"], window_strides=(stride, stride), padding=padding,
+        x, w, window_strides=(stride, stride), padding=padding,
         dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    if compute_dtype is not None:
+        out = out.astype(orig_dtype)
     return out + p["b"]
 
 

@@ -39,8 +39,11 @@ def compute_image_features(params: Dict, cfg: Config,
     """[V, H, W, 3] -> [V, H, W, 45].  Split out so the trainer can cache
     per-image pyramids instead of recomputing each step (the reference
     recomputes every step — SURVEY hot-loop (c))."""
+    import jax.numpy as jnp
+    cdt = jnp.bfloat16 if cfg.agg.compute_dtype == "bfloat16" else None
     return feature_pyramid.apply(params["aggregator"]["pyramid"],
-                                 images_nearest, cfg.agg.act_type)
+                                 images_nearest, cfg.agg.act_type,
+                                 compute_dtype=cdt)
 
 
 def render(params: Dict, points: npts.NeuralPoints, grid: PointGrid,
@@ -98,16 +101,21 @@ def render(params: Dict, points: npts.NeuralPoints, grid: PointGrid,
                                cfg.sampling.dilation_patch_size)
         drop_mask = jnp.asarray(dm)
 
-    out = agg.apply(
-        params["aggregator"], acfg,
+    # (remat with dots-saveable policy was measured ~4% slower here — the
+    # backward is not activation-IO bound; plain apply wins)
+    def agg_call(p, arrays):
+        return agg.apply(
+            p, acfg, vsize=qcfg.query_vsize, train=train, **arrays)
+
+    out = agg_call(params["aggregator"], dict(
         sampled_xyz=sampled.xyz, sampled_xyz_pers=sampled_xyz_pers,
         sampled_embedding=sampled.embedding, sampled_color=sampled.color,
         sampled_dir=sampled.dirs, sampled_conf=sampled.conf,
         pnt_mask=qres.pnt_mask, sample_loc=sample_loc,
         sample_loc_w=qres.sample_loc_w, sample_ray_dirs=sample_ray_dirs,
-        vsize=qcfg.query_vsize, img_feat_n=img_feat_n,
-        sample_loc_i_n=sample_loc_i_n, delta_viewdir_n=delta_vd_n,
-        frame_weight_n=frame_w_n, drop_mask=drop_mask, train=train)
+        img_feat_n=img_feat_n, sample_loc_i_n=sample_loc_i_n,
+        delta_viewdir_n=delta_vd_n, frame_weight_n=frame_w_n,
+        drop_mask=drop_mask))
 
     # per-sample marching distance from perspective depth (:331-339)
     ray_dist = march.ray_dist_from_depth(

@@ -116,21 +116,10 @@ def knn_over_grid(grid: PointGrid, sample_loc: jnp.ndarray,
     cand_d = jnp.concatenate(d2_parts, axis=-1)                # [S, Q*P]
     cand_i = jnp.concatenate(pid_parts, axis=-1)
 
-    def select_min(carry, _):
-        cd, acc_d, acc_i, k = carry
-        am = jnp.argmin(cd, axis=-1)                           # [S]
-        md = jnp.take_along_axis(cd, am[:, None], axis=-1)[:, 0]
-        mi = jnp.take_along_axis(cand_i, am[:, None], axis=-1)[:, 0]
-        acc_d = acc_d.at[:, k].set(md)
-        acc_i = acc_i.at[:, k].set(mi)
-        cd = jnp.where(
-            jax.nn.one_hot(am, cd.shape[-1], dtype=bool), BIG, cd)
-        return (cd, acc_d, acc_i, k + 1), None
-
-    acc_d0 = jnp.full((S, K), BIG)
-    acc_i0 = jnp.full((S, K), -1, jnp.int32)
-    (_, best_d_s, best_i_s, _), _ = jax.lax.scan(
-        select_min, (cand_d, acc_d0, acc_i0, 0), None, length=K)
+    # K-smallest selection: Pallas kernel on TPU (one VMEM pass), XLA
+    # argmin+mask loop elsewhere (ops/pallas_select.py)
+    from hybridneuralrendering_tpu.ops.pallas_select import k_smallest_auto
+    best_d_s, best_i_s = k_smallest_auto(cand_d, cand_i, K)
     return best_d_s.reshape(R, SR, K), best_i_s.reshape(R, SR, K)
 
 

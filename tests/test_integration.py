@@ -1,0 +1,152 @@
+"""End-to-end integration: fake ScanNet export on disk -> dataset -> training.
+
+Builds a miniature scene in the reference's exported layout
+(color/pose/depth/intrinsic), then runs the real dataset loader, point
+bootstrap from sensor depth, and a few optimization steps — the full L5->L0
+stack on CPU.
+"""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hybridneuralrendering_tpu import config as C
+
+
+@pytest.fixture(scope="module")
+def fake_scannet(tmp_path_factory):
+    root = tmp_path_factory.mktemp("scans")
+    scan = "scene_test"
+    base = root / scan / "exported"
+    for sub in ("color", "pose", "depth", "intrinsic"):
+        os.makedirs(base / sub, exist_ok=True)
+
+    H, W = 48, 64
+    intr = np.array([[40.0, 0, W / 2], [0, 40.0, H / 2], [0, 0, 1]])
+    np.savetxt(base / "intrinsic/intrinsic_color.txt",
+               np.block([[intr, np.zeros((3, 1))], [np.zeros((1, 3)), 1]]))
+    np.savetxt(base / "intrinsic/intrinsic_depth.txt",
+               np.block([[intr, np.zeros((3, 1))], [np.zeros((1, 3)), 1]]))
+
+    from PIL import Image
+    import imageio.v2 as imageio
+    rng = np.random.default_rng(0)
+    n_frames = 12
+    for i in range(n_frames):
+        # camera slides along x, looking down +z at a textured wall at z=2
+        c2w = np.eye(4)
+        c2w[0, 3] = 0.05 * i
+        np.savetxt(base / f"pose/{i}.txt", c2w)
+        img = (rng.uniform(0, 255, (H, W, 3))).astype(np.uint8)
+        Image.fromarray(img).save(base / f"color/{i}.jpg")
+        depth_mm = np.full((H, W), 2000, np.uint16)  # 2 m
+        imageio.imwrite(base / f"depth/{i}.png", depth_mm)
+    return str(root), scan
+
+
+def small_cfg():
+    return C.Config(
+        name="itest",
+        querier=C.QuerierConfig(
+            vsize=(0.05, 0.05, 0.05), vscale=(2, 2, 2), SR=6, K=4, P=8,
+            max_o=20000, z_depth_dim=48, grid_capacity=600_000,
+            ranges=(-4.0, -4.0, -4.0, 4.0, 4.0, 4.0)),
+        points=C.PointsConfig(num_points=5000, feature_dim=8),
+        agg=C.AggregatorConfig(point_features_dim=8, shading_feature_num=128,
+                               use_nearest=2, num_feat_freqs=2,
+                               dist_xyz_freq=2, drop_ratio=0.5),
+        render=C.RenderConfig(near_plane=0.5, far_plane=4.0),
+        sampling=C.SamplingConfig(random_sample="dilated",
+                                  random_sample_size=8, dilation_patch_num=2,
+                                  dilation_patch_size=4, edge_filter=2,
+                                  dilation_max=3),
+        blur=C.BlurConfig(add_blur_sim=True, blur_kernel_size=5,
+                          move_dists=(1,), num_move_dirs=4),
+        loss=C.LossConfig(use_frame_weight=True),
+        image_hw=(48, 64),
+    )
+
+
+class TestScannetPipeline:
+    def test_dataset_loads(self, fake_scannet):
+        from hybridneuralrendering_tpu.data.scannet import ScannetScene
+        root, scan = fake_scannet
+        cfg = small_cfg()
+        ds = ScannetScene(root, scan, cfg, "train")
+        assert len(ds.train_id_list) == 3   # every 5th of 12 frames
+        assert len(ds) == 3
+        batch = ds.get_batch(0, np.random.default_rng(0))
+        R = cfg.sampling.rays_per_batch
+        assert batch["raydir"].shape == (R, 3)
+        assert batch["gt_image"].shape == (R, 3)
+        assert batch["images_nearest"].shape[0] == 2
+        assert "frame_weight" in batch
+
+    def test_depth_bootstrap_and_train(self, fake_scannet):
+        from hybridneuralrendering_tpu.data.scannet import ScannetScene
+        from hybridneuralrendering_tpu.models import blur as blur_mod
+        from hybridneuralrendering_tpu.models import neural_points as npts
+        from hybridneuralrendering_tpu.models import renderer
+        from hybridneuralrendering_tpu.ops import voxel_grid as VG
+        from hybridneuralrendering_tpu.train import state as state_mod
+        from hybridneuralrendering_tpu.train import step as step_mod
+
+        root, scan = fake_scannet
+        cfg = small_cfg()
+        ds = ScannetScene(root, scan, cfg, "train")
+        xyz = ds.load_init_depth_points(vox_res=64, frame_stride=4)
+        assert len(xyz) > 50
+        # wall at z = 2 m
+        np.testing.assert_allclose(xyz[:, 2].mean(), 2.0, atol=0.1)
+
+        if len(xyz) > cfg.points.num_points:
+            xyz = xyz[:: len(xyz) // cfg.points.num_points + 1]
+        points = npts.init_from_arrays(xyz, cfg.points,
+                                       key=jax.random.PRNGKey(0))
+        geom = VG.compute_grid_geometry(xyz, np.ones(len(xyz), bool),
+                                        cfg.querier)
+        grid = VG.build_grid(points.xyz, points.mask, geom, cfg.querier)
+        params = renderer.init_params(jax.random.PRNGKey(0), cfg)
+        ts = state_mod.create_train_state(params, points, cfg)
+        kernels = jnp.asarray(blur_mod.generate_kernel_bank(cfg.blur))
+        rng = np.random.default_rng(0)
+        losses = []
+        for i in range(3):
+            batch = ds.get_batch(int(rng.integers(len(ds))), rng)
+            batch.pop("vid")
+            ts, items = step_mod.train_step(
+                ts, grid, batch, jax.random.PRNGKey(i), kernels, cfg)
+            losses.append(float(items["loss_total"]))
+        assert all(np.isfinite(losses)), losses
+
+    def test_checkpoint_roundtrip(self, fake_scannet, tmp_path):
+        from hybridneuralrendering_tpu.models import neural_points as npts
+        from hybridneuralrendering_tpu.models import renderer
+        from hybridneuralrendering_tpu.train import checkpoint as ckpt_mod
+        from hybridneuralrendering_tpu.train import state as state_mod
+
+        cfg = small_cfg()
+        xyz = np.random.default_rng(0).uniform(-1, 1, (100, 3)).astype(
+            np.float32)
+        points = npts.init_from_arrays(xyz, cfg.points)
+        params = renderer.init_params(jax.random.PRNGKey(0), cfg)
+        ts = state_mod.create_train_state(params, points, cfg)
+        ts = ts._replace(step=jnp.asarray(123, jnp.int32))
+        path = ckpt_mod.save_checkpoint(str(tmp_path), ts, best_psnr=31.5)
+        assert ckpt_mod.latest_checkpoint(str(tmp_path)) == path
+
+        tmpl = state_mod.create_train_state(
+            renderer.init_params(jax.random.PRNGKey(1), cfg),
+            npts.init_from_arrays(np.zeros((1, 3), np.float32), cfg.points),
+            cfg)
+        back, best = ckpt_mod.load_checkpoint(path, tmpl)
+        assert int(back.step) == 123
+        assert best == 31.5
+        np.testing.assert_allclose(np.asarray(back.points.xyz),
+                                   np.asarray(ts.points.xyz))
+        for a, b in zip(jax.tree_util.tree_leaves(back.params),
+                        jax.tree_util.tree_leaves(ts.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b))
