@@ -40,6 +40,9 @@ def build_argparser():
     p.add_argument("--test-num", type=int, default=10)
     p.add_argument("--resume", action="store_true")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--native-prefetch", type=int, default=0,
+                   help="worker threads for the C++ batch-assembly pipeline "
+                        "(0 = python sampling)")
     return p
 
 
@@ -163,9 +166,38 @@ def main(argv=None):
             f"{int(ts.points.num_live)} live points")
     t_start = time.time()
     step = int(ts.step)
-    while step < max_steps:
+    # optional native batch-assembly prefetch (C++ thread pool overlaps the
+    # host-side sampling/gather/raydir work with the device step)
+    native_pipe = None
+    if args.native_prefetch > 0 and cfg.sampling.random_sample == "dilated":
+        from hybridneuralrendering_tpu.data import native_sampler as NS
+        if NS.load() is not None:
+            native_pipe = NS.PrefetchPipeline(args.native_prefetch)
+            vis.log(f"native prefetch on ({args.native_prefetch} workers)")
+
+    def next_batch(step_seed):
         fi = int(rng.integers(len(train_ds)))
-        batch = train_ds.get_batch(fi, rng)
+        if native_pipe is None:
+            b = train_ds.get_batch(fi, rng)
+            return fi, b
+        # native path: pixel sampling + gt gather + ray dirs off the GIL;
+        # the python loader still supplies poses and the nearest-view stack
+        vid_f = train_ds.id_list[fi]
+        c2w = train_ds._pose(vid_f)
+        img = train_ds.image(vid_f)
+        s = cfg.sampling
+        native_pipe.submit(img, s.edge_filter, s.dilation_patch_num,
+                           s.dilation_patch_size, s.dilation_min,
+                           s.dilation_max, train_ds.intrinsic, c2w[:3, :3],
+                           step_seed)
+        _, xy, rgb, dirs = native_pipe.pop()
+        b = train_ds.get_batch(fi, rng, pixelcoords=xy.reshape(
+            s.random_sample_size, s.random_sample_size, 2))
+        b["raydir"], b["gt_image"] = dirs, rgb
+        return fi, b
+
+    while step < max_steps:
+        fi, batch = next_batch(step)
         vid = batch.pop("vid")
         ts, items = step_mod.train_step(
             ts, grid, batch, jax.random.fold_in(key, step), kernels, cfg)

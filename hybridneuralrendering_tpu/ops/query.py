@@ -169,9 +169,11 @@ def query_points(grid: PointGrid, xyz: jnp.ndarray, campos: jnp.ndarray,
         lambda c: jnp.searchsorted(c, targets, side="left"))(cum)  # [R, SR]
     sample_mask = idx < D
     idx_c = jnp.clip(idx, 0, D - 1)
+    # invalid slots keep the last (finite, on-ray, positive-depth) candidate
+    # as a placeholder — zeroing them would NaN the perspective divide when a
+    # camera sits at the origin; validity travels in sample_mask/pnt_mask
     sample_loc_w = jnp.take_along_axis(
         raypos, idx_c[..., None], axis=1)                     # [R, SR, 3]
-    sample_loc_w = sample_loc_w * sample_mask[..., None].astype(raypos.dtype)
 
     # 4. exact K-NN over the kernel_size neighbor voxels
     best_d, best_i = knn_over_grid(grid, sample_loc_w, sample_mask, cfg)

@@ -94,8 +94,9 @@ def query_points_pers(grid: VG.PointGrid, xyz_w: jnp.ndarray,
     idx = jax.vmap(lambda c: jnp.searchsorted(c, targets, side="left"))(cum)
     sample_mask = idx < D
     idx_c = jnp.clip(idx, 0, D - 1)
+    # placeholder = last candidate (finite in frustum coords); validity is in
+    # sample_mask — see ops/query.py
     sample_loc = jnp.take_along_axis(raypos, idx_c[..., None], axis=1)
-    sample_loc = sample_loc * sample_mask[..., None].astype(raypos.dtype)
 
     # optional z-jitter of shading locations (query_point_indices.py:116-126)
     if train and shpnt_jitter != "passfunc" and key is not None:
@@ -114,8 +115,6 @@ def query_points_pers(grid: VG.PointGrid, xyz_w: jnp.ndarray,
     sample_pidx = jnp.where(pnt_mask, best_i, -1)
     ray_mask = jnp.any(pnt_mask, axis=(1, 2))
     sample_loc_w = pers2w(sample_loc, camrotc2w, campos)
-    sample_loc_w = sample_loc_w * sample_mask[..., None].astype(
-        sample_loc_w.dtype)
     return Q.QueryResult(sample_pidx=sample_pidx, sample_loc_w=sample_loc_w,
                          sample_mask=sample_mask, ray_mask=ray_mask,
                          pnt_mask=pnt_mask)
