@@ -59,20 +59,31 @@ def load_part(ckpt_dir: str, cfg, index_file=None, transform=None):
         "color": np.asarray(ts.points.color)[sel],
         "dirs": np.asarray(ts.points.dirs)[sel],
     }
+    n = len(sel)
     if transform is not None:
         T = np.loadtxt(transform).reshape(4, 4).astype(np.float32)
         R, t = T[:3, :3], T[:3, 3]
         attrs["xyz"] = attrs["xyz"] @ R.T + t
-        attrs["dirs"] = attrs["dirs"] @ R.T
+        # per-point Rw2c = R^T: the aggregator rotates view dirs and deltas
+        # back into the part's trained frame (run/editiing.py:196-209)
+        attrs["rw2c"] = np.tile(R.T[None], (n, 1, 1)).astype(np.float32)
+    else:
+        attrs["rw2c"] = np.tile(np.eye(3, dtype=np.float32)[None], (n, 1, 1))
     return ts.params, attrs
 
 
 def merge_parts(parts: List[dict], cfg):
+    import jax.numpy as jnp
+
     from hybridneuralrendering_tpu.models import neural_points as npts
     cat = {k: np.concatenate([p[k] for p in parts]) for k in parts[0]}
-    return npts.init_from_arrays(
+    points = npts.init_from_arrays(
         cat["xyz"], cfg.points, embedding=cat["embedding"], conf=cat["conf"],
         color=cat["color"], dirs=cat["dirs"])
+    rw2c = np.tile(np.eye(3, dtype=np.float32)[None],
+                   (points.capacity, 1, 1))
+    rw2c[: len(cat["rw2c"])] = cat["rw2c"]
+    return points._replace(rw2c=jnp.asarray(rw2c))
 
 
 def main(argv=None):

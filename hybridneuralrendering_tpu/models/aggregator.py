@@ -288,6 +288,7 @@ def apply(params: Dict, cfg: AggregatorConfig, *,
           delta_viewdir_n: Optional[jnp.ndarray] = None,
           frame_weight_n: Optional[jnp.ndarray] = None,
           drop_mask: Optional[jnp.ndarray] = None,
+          sampled_rw2c: Optional[jnp.ndarray] = None,
           train: bool = False) -> AggOutput:
     """Shade all [R, SR] samples from their K gathered neighbors.
 
@@ -321,6 +322,12 @@ def apply(params: Dict, cfg: AggregatorConfig, *,
     if cfg.dist_xyz_deno > 0:
         dists_flat = dists_flat / (
             cfg.dist_xyz_deno * float(np.linalg.norm(vsize)))
+    if sampled_rw2c is not None:
+        # scene editing: rotate world-space deltas into each part's original
+        # frame (point_aggregators.py:927; per-point Rw2c from editing)
+        rot = jnp.einsum("rskij,rskj->rski", sampled_rw2c,
+                         dists_flat[..., :3])
+        dists_flat = jnp.concatenate([rot, dists_flat[..., 3:]], axis=-1)
     if cfg.dist_xyz_freq != 0:
         dists_enc = positional_encoding(dists_flat, abs(cfg.dist_xyz_freq))
     else:
@@ -336,9 +343,17 @@ def apply(params: Dict, cfg: AggregatorConfig, *,
         feat = mlp.mlp_apply(params["block2"], feat, cfg.act_type,
                              final_act=True, compute_dtype=cdt)
 
-    # viewdirs: PE with raw prefix; ori part feeds the dir-delta features
-    vdirs = positional_encoding(sample_ray_dirs, cfg.num_viewdir_freqs,
-                                ori=True)
+    # viewdirs: PE with raw prefix; ori part feeds the dir-delta features.
+    # In edit mode, view dirs rotate into each part's original frame by its
+    # first neighbor's Rw2c (point_aggregators.py:894-910)
+    vdirs_in = sample_ray_dirs
+    sampled_dir_in = sampled_dir
+    if sampled_rw2c is not None:
+        vdirs_in = jnp.einsum("rsij,rsj->rsi", sampled_rw2c[:, :, 0],
+                              sample_ray_dirs)
+        sampled_dir_in = jnp.einsum("rskij,rskj->rski", sampled_rw2c,
+                                    sampled_dir)
+    vdirs = positional_encoding(vdirs_in, cfg.num_viewdir_freqs, ori=True)
     ori_viewdirs, vdirs_enc = vdirs[..., :3], vdirs[..., 3:]     # [R,SR,·]
 
     if cfg.shading_feature_mlp_layer3 > 0:
@@ -346,8 +361,8 @@ def apply(params: Dict, cfg: AggregatorConfig, *,
         if "1" in cfg.point_color_mode:
             parts.append(sampled_color)
         if "1" in cfg.point_dir_mode:
-            dir_delta = sampled_dir - ori_viewdirs[..., None, :]
-            dir_dot = jnp.sum(sampled_dir * ori_viewdirs[..., None, :],
+            dir_delta = sampled_dir_in - ori_viewdirs[..., None, :]
+            dir_dot = jnp.sum(sampled_dir_in * ori_viewdirs[..., None, :],
                               axis=-1, keepdims=True)
             parts += [dir_delta, dir_dot]
         feat = mlp.mlp_apply(params["block3"],

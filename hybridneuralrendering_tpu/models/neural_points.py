@@ -30,6 +30,10 @@ class NeuralPoints(NamedTuple):
     dirs: jnp.ndarray         # [N, 3] f32 — acquisition view directions
     mask: jnp.ndarray         # [N] bool — live point
     num_live: jnp.ndarray     # [] i32
+    # per-point world->local rotations for scene editing (None outside edit
+    # mode; the reference carries these only for edited parts,
+    # neural_points.py:473-487 + run/editiing.py:196-209)
+    rw2c: Optional[jnp.ndarray] = None   # [N, 3, 3] f32 or None
 
     @property
     def capacity(self) -> int:
@@ -87,6 +91,7 @@ class SampledPoints(NamedTuple):
     conf: jnp.ndarray         # [R, SR, K, 1]
     color: jnp.ndarray        # [R, SR, K, 3]
     dirs: jnp.ndarray         # [R, SR, K, 3]
+    rw2c: Optional[jnp.ndarray] = None  # [R, SR, K, 3, 3] in edit mode
 
 
 def gather(points: NeuralPoints, sample_pidx: jnp.ndarray) -> SampledPoints:
@@ -99,6 +104,7 @@ def gather(points: NeuralPoints, sample_pidx: jnp.ndarray) -> SampledPoints:
         conf=points.conf[idx],
         color=points.color[idx],
         dirs=points.dirs[idx],
+        rw2c=None if points.rw2c is None else points.rw2c[idx],
     )
 
 

@@ -115,7 +115,7 @@ def render(params: Dict, points: npts.NeuralPoints, grid: PointGrid,
         sample_loc_w=qres.sample_loc_w, sample_ray_dirs=sample_ray_dirs,
         img_feat_n=img_feat_n, sample_loc_i_n=sample_loc_i_n,
         delta_viewdir_n=delta_vd_n, frame_weight_n=frame_w_n,
-        drop_mask=drop_mask))
+        drop_mask=drop_mask, sampled_rw2c=sampled.rw2c))
 
     # per-sample marching distance from perspective depth (:331-339)
     ray_dist = march.ray_dist_from_depth(

@@ -21,6 +21,8 @@ from hybridneuralrendering_tpu.train.state import TrainState
 
 def _flatten(tree, prefix=""):
     out = {}
+    if tree is None:  # optional fields (e.g. NeuralPoints.rw2c outside edit)
+        return out
     if isinstance(tree, dict):
         items = tree.items()
     elif isinstance(tree, (list, tuple)) and not hasattr(tree, "_fields"):
@@ -76,6 +78,8 @@ def load_checkpoint(path: str, template: TrainState
     best = float(data["__best_psnr__"]) if "__best_psnr__" in data else 0.0
 
     def rebuild(tree, prefix=""):
+        if tree is None:
+            return None
         if isinstance(tree, dict):
             return {k: rebuild(v, f"{prefix}{k}/") for k, v in tree.items()}
         if hasattr(tree, "_fields"):

@@ -390,3 +390,37 @@ class TestDistanceKernelVariants:
         params = renderer.init_params(jax.random.PRNGKey(0), cfg)
         out = renderer.render(params, points, grid, batch, cfg)
         assert np.isfinite(np.asarray(out["coarse_raycolor"])).all()
+
+
+class TestEditingRw2c:
+    def test_render_with_per_point_rotation(self):
+        """Rendering with identity per-point Rw2c must match no-Rw2c exactly."""
+        cfg = tiny()
+        points, grid = make_scene(cfg)
+        batch = make_batch(cfg)
+        params = renderer.init_params(jax.random.PRNGKey(0), cfg)
+        out_plain = renderer.render(params, points, grid, batch, cfg)
+        ident = jnp.tile(jnp.eye(3)[None], (points.capacity, 1, 1))
+        pts_rot = points._replace(rw2c=ident)
+        out_ident = renderer.render(params, pts_rot, grid, batch, cfg)
+        np.testing.assert_allclose(
+            np.asarray(out_ident["coarse_raycolor"]),
+            np.asarray(out_plain["coarse_raycolor"]), atol=1e-5)
+
+    def test_nontrivial_rotation_changes_output(self):
+        cfg = tiny()
+        points, grid = make_scene(cfg)
+        batch = make_batch(cfg)
+        params = renderer.init_params(jax.random.PRNGKey(0), cfg)
+        theta = 0.8
+        R = jnp.asarray([[np.cos(theta), -np.sin(theta), 0],
+                         [np.sin(theta), np.cos(theta), 0],
+                         [0, 0, 1.0]], jnp.float32)
+        pts_rot = points._replace(
+            rw2c=jnp.tile(R[None], (points.capacity, 1, 1)))
+        out_a = renderer.render(params, points, grid, batch, cfg)
+        out_b = renderer.render(params, pts_rot, grid, batch, cfg)
+        hit = np.asarray(out_a["ray_mask"])
+        diff = np.abs(np.asarray(out_a["coarse_raycolor"])
+                      - np.asarray(out_b["coarse_raycolor"]))[hit]
+        assert diff.max() > 1e-4
