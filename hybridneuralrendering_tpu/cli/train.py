@@ -43,6 +43,9 @@ def build_argparser():
     p.add_argument("--native-prefetch", type=int, default=0,
                    help="worker threads for the C++ batch-assembly pipeline "
                         "(0 = python sampling)")
+    p.add_argument("--frames-per-step", type=int, default=1,
+                   help=">1 vmaps several frames' ray batches into one "
+                        "optimizer step (larger effective batch)")
     return p
 
 
@@ -197,10 +200,21 @@ def main(argv=None):
         return fi, b
 
     while step < max_steps:
-        fi, batch = next_batch(step)
-        vid = batch.pop("vid")
-        ts, items = step_mod.train_step(
-            ts, grid, batch, jax.random.fold_in(key, step), kernels, cfg)
+        if args.frames_per_step > 1:
+            frames = []
+            fi = 0
+            for _ in range(args.frames_per_step):
+                fi, b = next_batch(step)
+                b.pop("vid", None)
+                frames.append(b)
+            batches = step_mod.stack_batches(frames)
+            ts, items = step_mod.train_step_multi(
+                ts, grid, batches, jax.random.fold_in(key, step), kernels, cfg)
+        else:
+            fi, batch = next_batch(step)
+            batch.pop("vid", None)
+            ts, items = step_mod.train_step(
+                ts, grid, batch, jax.random.fold_in(key, step), kernels, cfg)
         step = int(ts.step)
 
         if "loss_ray_miss_coarse_raycolor" in items:

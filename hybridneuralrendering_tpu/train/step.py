@@ -92,3 +92,65 @@ def eval_step(params: Dict, points, grid: PointGrid, batch: Dict,
     """Deterministic render for test/probe (no jitter, no drop, no blur)."""
     return renderer.render(params, points, grid, batch, cfg, key=None,
                            train=False, prob=prob)
+
+
+# ---------------------------------------------------------------------------
+# Multi-frame batched training.  The reference is locked to one frame per
+# step (torch DataParallel over a single batch); on TPU the latency-bound
+# query amortizes across frames vmapped in one executable — a pure
+# throughput lever with identical per-frame math (gradients average over
+# frames like a larger batch).
+# ---------------------------------------------------------------------------
+
+def multi_loss_fn(params: Dict, pts_tree: Dict, static_points,
+                  grid: PointGrid, batches: Dict, cfg: Config, key,
+                  blur_kernels) -> Tuple[jnp.ndarray, Dict]:
+    """batches: per-frame-stacked batch dict (leading axis F on every leaf)."""
+    points = state_mod.merge_point_params(static_points, pts_tree)
+    F = batches["raydir"].shape[0]
+    keys = jax.random.split(key, F)
+
+    def one(batch_f, key_f):
+        out = forward_with_blur(params, points, grid, batch_f, cfg, key_f,
+                                blur_kernels, train=True)
+        fw = batch_f.get("frame_weight") if cfg.loss.use_frame_weight else None
+        total, items = losses_mod.compute_losses(
+            out, batch_f["gt_image"], cfg.loss, fw)
+        return total, items
+
+    totals, items = jax.vmap(one)(batches, keys)
+    items = jax.tree_util.tree_map(jnp.mean, items)
+    return jnp.mean(totals), items
+
+
+@partial(jax.jit, static_argnames=("cfg",), donate_argnames=("train_state",))
+def train_step_multi(train_state: TrainState, grid: PointGrid, batches: Dict,
+                     key, blur_kernels, cfg: Config
+                     ) -> Tuple[TrainState, Dict]:
+    """One optimizer step over F frames' ray batches at once."""
+    opt_net, opt_pts = state_mod.make_optimizers(cfg.optim)
+    pts_tree = state_mod.point_param_tree(train_state.points, cfg)
+    (total, items), (g_net, g_pts) = jax.value_and_grad(
+        multi_loss_fn, argnums=(0, 1), has_aux=True)(
+        train_state.params, pts_tree, train_state.points, grid, batches, cfg,
+        key, blur_kernels)
+    up_net, os_net = opt_net.update(g_net, train_state.opt_state_net,
+                                    train_state.params)
+    params = jax.tree_util.tree_map(lambda p, u: p + u,
+                                    train_state.params, up_net)
+    up_pts, os_pts = opt_pts.update(g_pts, train_state.opt_state_pts, pts_tree)
+    pts_tree = jax.tree_util.tree_map(lambda p, u: p + u, pts_tree, up_pts)
+    points = state_mod.merge_point_params(train_state.points, pts_tree)
+    new_state = TrainState(
+        step=train_state.step + 1, params=params, points=points,
+        opt_state_net=os_net, opt_state_pts=os_pts)
+    return new_state, items
+
+
+def stack_batches(batch_list):
+    """List of per-frame batch dicts -> frame-stacked dict for
+    train_step_multi."""
+    import numpy as np
+    keys = batch_list[0].keys()
+    return {k: np.stack([np.asarray(b[k]) for b in batch_list])
+            for k in keys}

@@ -96,3 +96,33 @@ class TestMultiChip:
         _, items2 = step_mod.train_step(ts2, grid2, batch2, key, kernels2, cfg2)
         l2 = float(items2["loss_total"])
         np.testing.assert_allclose(l2, l1, rtol=1e-4)
+
+
+class TestMultiFrame:
+    def test_multi_frame_step(self):
+        cfg, ts, grid, batch, kernels = setup()
+        batches = step_mod.stack_batches([batch, batch])
+        ts2, items = step_mod.train_step_multi(
+            ts, grid, batches, jax.random.PRNGKey(0), kernels, cfg)
+        assert np.isfinite(float(items["loss_total"]))
+        assert int(ts2.step) == 1
+
+    def test_duplicate_frames_match_single_loss(self):
+        """Mean loss over identical frames equals the single-frame loss."""
+        cfg, ts, grid, batch, kernels = setup()
+        from hybridneuralrendering_tpu.train.state import point_param_tree
+        pts_tree = point_param_tree(ts.points, cfg)
+        key = jax.random.PRNGKey(5)
+        single, _ = step_mod.loss_fn(ts.params, pts_tree, ts.points, grid,
+                                     batch, cfg, key, kernels)
+        batches = step_mod.stack_batches([batch, batch])
+        # multi uses split(key)[f] per frame; reproduce per-frame losses
+        keys = jax.random.split(key, 2)
+        m0, _ = step_mod.loss_fn(ts.params, pts_tree, ts.points, grid,
+                                 batch, cfg, keys[0], kernels)
+        m1, _ = step_mod.loss_fn(ts.params, pts_tree, ts.points, grid,
+                                 batch, cfg, keys[1], kernels)
+        multi, _ = step_mod.multi_loss_fn(ts.params, pts_tree, ts.points,
+                                          grid, batches, cfg, key, kernels)
+        np.testing.assert_allclose(
+            float(multi), (float(m0) + float(m1)) / 2, rtol=1e-4)
