@@ -77,8 +77,7 @@ def main(argv=None):
                       "raydir": raydir.astype(np.float32)})
             return b
 
-    poses = [pose_spherical(th, args.phi, args.radius)
-             for th in np.linspace(-180, 180, args.frames + 1)[:-1]]
+    poses = ds.render_path(args.frames, args.phi, args.radius)
     path_ds = PathView(ds, poses)
     for i in range(args.frames):
         img = render_full_frame(ts.params, ts.points, grid, path_ds, i, cfg)

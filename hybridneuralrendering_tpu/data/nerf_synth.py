@@ -111,7 +111,11 @@ class NerfSynthScene:
 
     def render_path(self, n: int = 40, phi: float = -30.0,
                     radius: float = 4.0) -> List[np.ndarray]:
-        return [pose_spherical(th, phi, radius)
+        """Spherical orbit poses in OpenCV convention (+z toward the object):
+        pose_spherical yields Blender-style -z-forward cameras, flipped here
+        exactly as the loader flips dataset poses."""
+        return [(pose_spherical(th, phi, radius)
+                 @ BLENDER2OPENCV).astype(np.float32)
                 for th in np.linspace(-180, 180, n + 1)[:-1]]
 
     def __len__(self):

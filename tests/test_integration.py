@@ -150,3 +150,137 @@ class TestScannetPipeline:
         for a, b in zip(jax.tree_util.tree_leaves(back.params),
                         jax.tree_util.tree_leaves(ts.params)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+@pytest.fixture(scope="module")
+def fake_blender(tmp_path_factory):
+    """Miniature NeRF-synthetic scene in the Blender transforms layout."""
+    import json
+    from PIL import Image
+    root = tmp_path_factory.mktemp("nerf")
+    scan = "minilego"
+    base = root / scan
+    os.makedirs(base / "train", exist_ok=True)
+    os.makedirs(base / "test", exist_ok=True)
+    rng = np.random.default_rng(0)
+    H = W = 40
+
+    def pose(theta):
+        from hybridneuralrendering_tpu.data.nerf_synth import pose_spherical
+        return pose_spherical(theta, -30.0, 3.0)
+
+    for split, n in (("train", 6), ("test", 2)):
+        frames = []
+        for i in range(n):
+            img = np.zeros((H, W, 4), np.uint8)
+            img[10:30, 10:30] = [*rng.integers(50, 255, 3), 255]
+            name = f"{split}/r_{i}"
+            Image.fromarray(img).save(base / f"{name}.png")
+            # pose_spherical is already Blender-convention (-z forward); the
+            # loader applies BLENDER2OPENCV on read
+            frames.append({"file_path": name,
+                           "transform_matrix": pose(360.0 * i / n).tolist()})
+        meta = {"camera_angle_x": 0.69, "frames": frames}
+        with open(base / f"transforms_{split}.json", "w") as f:
+            json.dump(meta, f)
+    return str(root), scan
+
+
+def nerf_cfg():
+    cfg = small_cfg()
+    return cfg.replace(image_hw=(40, 40),
+                       render=C.RenderConfig(near_plane=1.0, far_plane=5.0,
+                                             bg_color=(1.0, 1.0, 1.0)))
+
+
+class TestNerfSynthPipeline:
+    def test_dataset_and_render(self, fake_blender):
+        from hybridneuralrendering_tpu.data.nerf_synth import NerfSynthScene
+        root, scan = fake_blender
+        cfg = nerf_cfg()
+        train_ds = NerfSynthScene(root, scan, cfg, "train")
+        test_ds = NerfSynthScene(root, scan, cfg, "test")
+        assert len(train_ds) == 6 and len(test_ds) == 2
+        b = train_ds.get_batch(0, np.random.default_rng(0))
+        R = cfg.sampling.rays_per_batch
+        assert b["raydir"].shape == (R, 3)
+        assert b["images_nearest"].shape[0] == cfg.agg.use_nearest
+        # rays look roughly toward the origin (object-centric rig)
+        campos = np.asarray(b["campos"])
+        to_origin = -campos / np.linalg.norm(campos)
+        mean_dir = np.asarray(b["raydir"]).mean(0)
+        mean_dir /= np.linalg.norm(mean_dir)
+        assert float(mean_dir @ to_origin) > 0.8
+
+    def test_render_path_poses(self, fake_blender):
+        from hybridneuralrendering_tpu.data.nerf_synth import NerfSynthScene
+        root, scan = fake_blender
+        ds = NerfSynthScene(root, scan, nerf_cfg(), "test")
+        poses = ds.render_path(n=8, radius=3.0)
+        assert len(poses) == 8
+        for p in poses:
+            np.testing.assert_allclose(np.linalg.norm(p[:3, 3]), 3.0,
+                                       rtol=1e-5)
+            # +z column looks toward the origin (OpenCV convention)
+            fwd = p[:3, 2]
+            assert float(fwd @ (-p[:3, 3] / 3.0)) > 0.5
+
+
+class TestLifecycle:
+    def test_probe_and_grow_runs(self, fake_scannet):
+        from hybridneuralrendering_tpu.data.scannet import ScannetScene
+        from hybridneuralrendering_tpu.models import neural_points as npts
+        from hybridneuralrendering_tpu.models import renderer
+        from hybridneuralrendering_tpu.ops import voxel_grid as VG
+        from hybridneuralrendering_tpu.train import lifecycle
+
+        root, scan = fake_scannet
+        cfg = small_cfg()
+        ds = ScannetScene(root, scan, cfg, "train")
+        # deliberately sparse cloud -> holes guaranteed
+        rng = np.random.default_rng(0)
+        xyz = np.stack([rng.uniform(-0.5, 0.5, 200),
+                        rng.uniform(-0.4, 0.4, 200),
+                        np.full(200, 2.0)], -1).astype(np.float32)
+        points = npts.init_from_arrays(xyz, cfg.points,
+                                       key=jax.random.PRNGKey(0))
+        geom = VG.compute_grid_geometry(xyz, np.ones(len(xyz), bool),
+                                        cfg.querier)
+        grid = VG.build_grid(points.xyz, points.mask, geom, cfg.querier)
+        params = renderer.init_params(jax.random.PRNGKey(0), cfg)
+        n0 = int(points.num_live)
+        new_points, new_grid, n_added = lifecycle.probe_and_grow(
+            params, points, grid, ds, cfg, tracker=None, max_frames=1)
+        assert n_added >= 0
+        assert int(new_points.num_live) == n0 + n_added
+        # grid rebuilt over the grown cloud
+        assert int(new_grid.num_occ) >= int(grid.num_occ) or n_added == 0
+
+
+class TestLearnableBlurTraining:
+    def test_step_with_learnable_kernel(self):
+        import dataclasses
+        from hybridneuralrendering_tpu.data.synthetic import (
+            make_synthetic_batch, make_synthetic_scene)
+        from hybridneuralrendering_tpu.models import renderer
+        from hybridneuralrendering_tpu.train import state as state_mod
+        from hybridneuralrendering_tpu.train import step as step_mod
+        cfg = small_cfg()
+        cfg = cfg.replace(agg=dataclasses.replace(
+            cfg.agg, learnable_blur_kernel=True,
+            learnable_blur_patch_size=cfg.sampling.dilation_patch_size,
+            learnable_blur_kernel_size=3))
+        points, grid = make_synthetic_scene(cfg, 1200)
+        batch = make_synthetic_batch(cfg)
+        params = renderer.init_params(jax.random.PRNGKey(0), cfg)
+        ts = state_mod.create_train_state(params, points, cfg)
+        b0 = jax.tree_util.tree_leaves(
+            ts.params["aggregator"]["blur_kernel"])[0]
+        b0 = np.array(b0)
+        for i in range(2):
+            ts, items = step_mod.train_step(
+                ts, grid, batch, jax.random.PRNGKey(i), None, cfg)
+        assert np.isfinite(float(items["loss_total"]))
+        b1 = np.asarray(jax.tree_util.tree_leaves(
+            ts.params["aggregator"]["blur_kernel"])[0])
+        assert np.abs(b1 - b0).sum() > 0  # blur head learns
