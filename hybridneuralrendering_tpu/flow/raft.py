@@ -15,7 +15,7 @@ scene to precompute <scene>_frame_weight_step5.npy).
 from __future__ import annotations
 
 import math
-from typing import Dict, List, NamedTuple, Tuple
+from typing import Dict, List, NamedTuple
 
 import jax
 import jax.numpy as jnp

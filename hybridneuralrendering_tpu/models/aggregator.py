@@ -21,7 +21,7 @@ Distance kernels (:759-846) and the straight-through confidence clamp (:1420-
 
 from __future__ import annotations
 
-from typing import Dict, NamedTuple, Optional, Tuple
+from typing import Dict, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp

@@ -18,7 +18,7 @@ groups, which XLA maps straight onto the MXU.
 
 from __future__ import annotations
 
-from typing import Dict, Optional
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

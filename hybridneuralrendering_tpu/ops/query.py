@@ -28,8 +28,7 @@ import numpy as np
 from hybridneuralrendering_tpu.config import QuerierConfig
 from hybridneuralrendering_tpu.core import rays as ray_gen
 from hybridneuralrendering_tpu.ops.voxel_grid import (
-    XYZ_SENTINEL, PointGrid, _neighbor_offsets, linearize, linearize_padz,
-    voxel_coords)
+    PointGrid, linearize, linearize_padz, voxel_coords)
 
 
 def _window_gather_1d(table: jnp.ndarray, starts: jnp.ndarray, w: int,

@@ -18,8 +18,7 @@ import numpy as np
 from hybridneuralrendering_tpu.config import Config
 from hybridneuralrendering_tpu.data.paths import build_view_triplets
 from hybridneuralrendering_tpu.data.point_init import voxel_downsample_closest
-from hybridneuralrendering_tpu.mvs import filter as GF
-from hybridneuralrendering_tpu.mvs import mvsnet, point_gen
+from hybridneuralrendering_tpu.mvs import point_gen
 
 
 def bootstrap_from_groups(

@@ -13,7 +13,6 @@ from __future__ import annotations
 
 from typing import Dict, List, Optional, Tuple
 
-import jax
 import numpy as np
 
 from hybridneuralrendering_tpu.config import Config
