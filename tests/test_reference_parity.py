@@ -1,0 +1,145 @@
+"""Golden parity against the REFERENCE implementation (torch CPU).
+
+These tests import the reference's own modules from /root/reference (read-only)
+and compare our JAX ops numerically on identical random inputs — the strongest
+evidence that the TPU re-design preserves the math.  Skipped wholesale if the
+reference tree is absent.
+"""
+
+import sys
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+REF = "/root/reference"
+if REF not in sys.path:
+    sys.path.insert(0, REF)
+
+try:
+    from models.rendering import diff_ray_marching as ref_march  # noqa: E402
+    from models.rendering import diff_render_func as ref_funcs   # noqa: E402
+    from models.helpers import networks as ref_networks          # noqa: E402
+    HAVE_REF = True
+except Exception:                                                # pragma: no cover
+    HAVE_REF = False
+
+pytestmark = pytest.mark.skipif(not HAVE_REF,
+                                reason="reference tree unavailable")
+
+import jax.numpy as jnp  # noqa: E402
+
+from hybridneuralrendering_tpu.core import encoding, march, rays  # noqa: E402
+
+
+class TestRayMarchParity:
+    def test_ray_march_matches_reference(self):
+        rng = np.random.default_rng(0)
+        R, S = 16, 10
+        dist = rng.uniform(0.01, 0.2, (1, R, S)).astype(np.float32)
+        valid = (rng.random((1, R, S)) > 0.3).astype(np.float32)
+        feats = rng.uniform(0, 2, (1, R, S, 4)).astype(np.float32)
+        bg = np.asarray([1.0, 1.0, 1.0], np.float32)
+
+        t_color, t_pc, t_op, t_acc, t_bw, t_bgt, t_bbw = ref_march.ray_march(
+            torch.from_numpy(dist), torch.from_numpy(valid),
+            torch.from_numpy(feats), ref_funcs.radiance_render,
+            ref_funcs.alpha_blend, torch.from_numpy(bg))
+
+        j = march.ray_march(
+            jnp.asarray(dist[0]), jnp.asarray(valid[0] > 0),
+            jnp.asarray(feats[0]), march.radiance_render, march.alpha_blend,
+            jnp.asarray(bg))
+        j_color, j_pc, j_op, j_acc, j_bw, j_bgt, j_bbw = j
+
+        np.testing.assert_allclose(np.asarray(j_color), t_color.numpy()[0],
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(j_op), t_op.numpy()[0],
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(j_acc), t_acc.numpy()[0],
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(j_bgt), t_bgt.numpy()[0],
+                                   rtol=1e-5, atol=1e-6)
+
+    def test_tonemap_parity(self):
+        rng = np.random.default_rng(1)
+        c = rng.uniform(0, 1.2, (5, 3)).astype(np.float32)
+        t = ref_funcs.simple_tone_map(torch.from_numpy(c.copy())).numpy()
+        jx = np.asarray(march.simple_tone_map(jnp.asarray(c)))
+        np.testing.assert_allclose(jx, t, rtol=1e-5, atol=1e-6)
+
+
+class TestRayGenParity:
+    def test_near_far_linear_no_jitter(self):
+        rng = np.random.default_rng(2)
+        R = 8
+        campos = rng.normal(size=(1, 3)).astype(np.float32)
+        raydir = rng.normal(size=(1, R, 3)).astype(np.float32)
+        raydir /= np.linalg.norm(raydir, axis=-1, keepdims=True)
+
+        t_pos, t_seg, _, t_ts = ref_march.near_far_linear_ray_generation(
+            torch.from_numpy(campos), torch.from_numpy(raydir), 32,
+            near=0.5, far=3.0, jitter=0.0)
+
+        j_pos, j_seg, j_ts = rays.near_far_linear(
+            jnp.asarray(campos[0]), jnp.asarray(raydir[0]), 32, 0.5, 3.0)
+
+        np.testing.assert_allclose(np.asarray(j_ts), t_ts.numpy()[0],
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(j_pos), t_pos.numpy()[0],
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(j_seg), t_seg.numpy()[0],
+                                   rtol=1e-5, atol=1e-6)
+
+
+class TestEncodingParity:
+    def test_positional_encoding(self):
+        rng = np.random.default_rng(3)
+        x = rng.normal(size=(7, 3)).astype(np.float32)
+        for freqs in (2, 4, 10):
+            t = ref_networks.positional_encoding(
+                torch.from_numpy(x), freqs).numpy()
+            jx = np.asarray(encoding.positional_encoding(jnp.asarray(x),
+                                                         freqs))
+            np.testing.assert_allclose(jx, t, rtol=1e-5, atol=1e-6)
+
+    def test_positional_encoding_ori(self):
+        rng = np.random.default_rng(4)
+        x = rng.normal(size=(5, 3)).astype(np.float32)
+        t = ref_networks.positional_encoding(torch.from_numpy(x), 4,
+                                             ori=True).numpy()
+        jx = np.asarray(encoding.positional_encoding(jnp.asarray(x), 4,
+                                                     ori=True))
+        np.testing.assert_allclose(jx, t, rtol=1e-5, atol=1e-6)
+
+
+class TestSchedulerParity:
+    def test_iter_exponential_decay(self):
+        """Our lr_schedule matches the reference LambdaLR rule."""
+        from hybridneuralrendering_tpu.config import OptimConfig
+        from hybridneuralrendering_tpu.train.state import lr_schedule
+        cfg = OptimConfig(lr=5e-4, lr_decay_iters=1_000_000, lr_decay_exp=0.1)
+        sched = lr_schedule(cfg.lr, cfg)
+        for it in (0, 1000, 50_000, 200_000):
+            expect = cfg.lr * pow(cfg.lr_decay_exp, it / cfg.lr_decay_iters)
+            np.testing.assert_allclose(float(sched(it)), expect, rtol=1e-6)
+
+
+class TestSphericalParity:
+    def test_sh_table(self):
+        sys.path.insert(0, REF)
+        try:
+            from utils.spherical import SphericalHarm_table
+        except ImportError:
+            pytest.skip("reference utils.spherical needs legacy "
+                        "scipy.special.sph_harm")
+        from hybridneuralrendering_tpu.core.sh import sh_basis
+        rng = np.random.default_rng(5)
+        dirs = rng.normal(size=(20, 3)).astype(np.float32)
+        dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+        for deg in (1, 2, 3, 4, 5):
+            ref = SphericalHarm_table(deg)
+            t = ref.sh_all(torch.from_numpy(dirs), filp_dir=True).numpy()
+            jx = np.asarray(sh_basis(jnp.asarray(dirs), deg, flip_dir=True))
+            np.testing.assert_allclose(jx, t, rtol=1e-4, atol=1e-5)
