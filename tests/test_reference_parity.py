@@ -143,3 +143,36 @@ class TestSphericalParity:
             t = ref.sh_all(torch.from_numpy(dirs), filp_dir=True).numpy()
             jx = np.asarray(sh_basis(jnp.asarray(dirs), deg, flip_dir=True))
             np.testing.assert_allclose(jx, t, rtol=1e-4, atol=1e-5)
+
+
+class TestBlurConvParity:
+    def test_mask_normalized_conv_matches_torch(self):
+        """Our grouped-conv blur matches torch F.conv2d semantics
+        (base_rendering_model.py:722-733 distilled)."""
+        import jax
+        from hybridneuralrendering_tpu.models.blur import _conv_same
+        rng = np.random.default_rng(0)
+        PN, PS, N, Ks = 2, 8, 5, 5
+        patches = rng.uniform(0, 1, (PN * PN * 3, 1, PS, PS)).astype(
+            np.float32)
+        kernels = rng.uniform(0, 1, (N, 1, Ks, Ks)).astype(np.float32)
+        kernels = kernels / kernels.sum(axis=(2, 3), keepdims=True)
+
+        t_patches = torch.from_numpy(patches)
+        t_kern = torch.from_numpy(kernels)
+        t_masks = torch.ones_like(t_patches)
+        t_mask_out = torch.nn.functional.conv2d(
+            t_masks, t_kern, padding=Ks // 2)
+        t_blur = (torch.nn.functional.conv2d(
+            t_patches, t_kern, padding=Ks // 2) / t_mask_out).numpy()
+
+        # ours: NHWC + HWIO; both torch conv2d and lax conv cross-correlate,
+        # so the kernel maps over with no spatial flip
+        x = jnp.asarray(patches.transpose(0, 2, 3, 1))          # [B, H, W, 1]
+        k = jnp.asarray(kernels[:, 0].transpose(1, 2, 0)[
+            :, :, None, :].copy())                              # [k, k, 1, N]
+        ones = jnp.ones_like(x)
+        j_blur = np.asarray(_conv_same(x, k) / _conv_same(ones, k))
+        # -> [B, H, W, N] vs torch [B, N, H, W]
+        np.testing.assert_allclose(j_blur.transpose(0, 3, 1, 2), t_blur,
+                                   rtol=1e-4, atol=1e-5)
