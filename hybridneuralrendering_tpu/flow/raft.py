@@ -42,8 +42,10 @@ def conv_init(key, cin, cout, k, kh=None):
 
 
 def conv(p, x, stride=1):
+    kh, kw = p["w"].shape[0], p["w"].shape[1]
     y = jax.lax.conv_general_dilated(
-        x, p["w"], (stride, stride), "SAME",
+        x, p["w"], (stride, stride),
+        ((kh // 2, kh // 2), (kw // 2, kw // 2)),
         dimension_numbers=("NHWC", "HWIO", "NHWC"))
     return y + p["b"]
 

@@ -104,9 +104,16 @@ def conv2d_init(key, in_ch: int, out_ch: int, ksize: int,
 
 
 def conv2d_apply(p: Dict, x: jnp.ndarray, stride: int = 1,
-                 padding: str = "SAME", compute_dtype=None) -> jnp.ndarray:
-    """x: [B, H, W, C] (NHWC — the TPU-native conv layout)."""
+                 padding=None, compute_dtype=None) -> jnp.ndarray:
+    """x: [B, H, W, C] (NHWC — the TPU-native conv layout).
+
+    Default padding is torch-style symmetric k//2 on both sides — XLA 'SAME'
+    pads asymmetrically under stride>1, which shifts strided feature maps by
+    one pixel relative to the reference's Conv2d(padding=k//2)."""
     w = p["w"]
+    if padding is None:
+        kh, kw = w.shape[0], w.shape[1]
+        padding = ((kh // 2, kh // 2), (kw // 2, kw // 2))
     orig_dtype = x.dtype
     if compute_dtype is not None:
         # uniform-dtype conv (the transpose rule rejects mixed dtypes with a

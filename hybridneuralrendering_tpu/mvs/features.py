@@ -48,9 +48,12 @@ def conv_bn_init(key, cin: int, cout: int, k: int = 3) -> Dict:
 
 
 def conv_bn_apply(p: Dict, x, stride=1, train=False):
-    # bias-free conv in the reference; the BN bias absorbs it
+    # bias-free conv in the reference; the BN bias absorbs it.
+    # torch-style symmetric k//2 padding (XLA SAME shifts under stride>1)
+    k = p["conv"]["w"].shape[0]
     y = jax.lax.conv_general_dilated(
-        x, p["conv"]["w"], (stride, stride), "SAME",
+        x, p["conv"]["w"], (stride, stride),
+        ((k // 2, k // 2), (k // 2, k // 2)),
         dimension_numbers=("NHWC", "HWIO", "NHWC"))
     return _abn(bn_apply(p["bn"], y, train))
 
@@ -65,13 +68,15 @@ def conv3d_init(key, cin: int, cout: int, k: int = 3) -> Dict:
 def conv3d_apply(p: Dict, x, stride=1, train=False, transpose=False):
     """x: [D, H, W, C] (leading batch handled by vmap if needed)."""
     x4 = x[None]
+    k = p["w"].shape[0]
+    pad = ((k // 2, k // 2),) * 3
     if transpose:
         y = jax.lax.conv_transpose(
             x4, p["w"], (stride,) * 3, "SAME",
             dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
     else:
         y = jax.lax.conv_general_dilated(
-            x4, p["w"], (stride,) * 3, "SAME",
+            x4, p["w"], (stride,) * 3, pad,
             dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
     return _abn(bn_apply(p["bn"], y[0], train))
 

@@ -134,6 +134,9 @@ class TestSphericalParity:
         except ImportError:
             pytest.skip("reference utils.spherical needs legacy "
                         "scipy.special.sph_harm")
+        if not hasattr(SphericalHarm_table, "sh_all"):
+            pytest.skip("utils.spherical stubbed by the aggregator parity "
+                        "test (legacy scipy unavailable)")
         from hybridneuralrendering_tpu.core.sh import sh_basis
         rng = np.random.default_rng(5)
         dirs = rng.normal(size=(20, 3)).astype(np.float32)
