@@ -109,3 +109,74 @@ class TestConvergence:
                        - np.asarray(eval_batch["gt_image"])[mask]) ** 2)
         eval_psnr = -10 * np.log10(max(err, 1e-10))
         assert eval_psnr > psnr0 + 4.0, (psnr0, eval_psnr)
+
+
+def render_wall_image(cfg, c2w, intr):
+    """Analytic image of the wall (z=2 plane) seen from a camera."""
+    H, W = cfg.image_hw
+    py, px = np.mgrid[0:H, 0:W].astype(np.float32)
+    x = (px + 0.5 - intr[0, 2]) / intr[0, 0]
+    y = (py + 0.5 - intr[1, 2]) / intr[1, 1]
+    dirs_c = np.stack([x, y, np.ones_like(x)], -1)
+    dirs_w = dirs_c @ c2w[:3, :3].T
+    campos = c2w[:3, 3]
+    t = (2.0 - campos[2]) / dirs_w[..., 2]
+    hit = campos + t[..., None] * dirs_w
+    return wall_color(hit)
+
+
+class TestHybridConvergence:
+    def test_hybrid_path_learns(self):
+        """With the image-fusion branch on (2 nearest views of the same wall),
+        training still converges — end-to-end check of the hybrid path."""
+        import dataclasses
+        cfg = make_cfg()
+        cfg = cfg.replace(agg=dataclasses.replace(
+            cfg.agg, use_nearest=2, drop_ratio=0.0))
+        H, W = cfg.image_hw
+        intr = np.array([[40.0, 0, W / 2], [0, 40.0, H / 2], [0, 0, 1]],
+                        np.float32)
+        rng = np.random.default_rng(0)
+        n = 3000
+        xyz = np.stack([rng.uniform(-1, 1, n), rng.uniform(-1, 1, n),
+                        np.full(n, 2.0) + rng.normal(0, 0.005, n)],
+                       -1).astype(np.float32)
+        points = npts.init_from_arrays(
+            xyz, cfg.points, color=wall_color(xyz),
+            dirs=np.tile([[0, 0, 1.0]], (n, 1)), key=jax.random.PRNGKey(0))
+        geom = VG.compute_grid_geometry(xyz, np.ones(n, bool), cfg.querier)
+        grid = VG.build_grid(points.xyz, points.mask, geom, cfg.querier)
+        params = renderer.init_params(jax.random.PRNGKey(0), cfg)
+        ts = state_mod.create_train_state(params, points, cfg)
+        kernels = jnp.asarray(blur_mod.generate_kernel_bank(cfg.blur))
+
+        # two fixed nearest views with analytically consistent images
+        near_c2ws = []
+        for dx in (-0.3, 0.3):
+            c2w = np.eye(4, dtype=np.float32)
+            c2w[0, 3] = dx
+            near_c2ws.append(c2w)
+        near_imgs = np.stack([render_wall_image(cfg, c, intr)
+                              for c in near_c2ws])
+
+        campos_pool = [np.array([0.3 * i - 0.6, 0.1 * i - 0.2, 0.0],
+                                np.float32) for i in range(5)]
+        first = last = None
+        for i in range(120):
+            batch = make_batch(cfg, rng, campos_pool[i % len(campos_pool)])
+            batch.update({
+                "images_nearest": jnp.asarray(near_imgs),
+                "c2w_nearest": jnp.asarray(np.stack(near_c2ws)),
+                "campos_nearest": jnp.asarray(
+                    np.stack([c[:3, 3] for c in near_c2ws])),
+                "intrinsic_nearest": jnp.asarray(intr),
+                "frame_weight_nearest": jnp.ones(2),
+            })
+            ts, items = step_mod.train_step(
+                ts, grid, batch, jax.random.PRNGKey(i), kernels, cfg)
+            if i == 0:
+                first = float(items["loss_ray_masked_coarse_raycolor"])
+        last = float(items["loss_ray_masked_coarse_raycolor"])
+        psnr0 = -10 * np.log10(max(first, 1e-10))
+        psnr1 = -10 * np.log10(max(last, 1e-10))
+        assert psnr1 > psnr0 + 5.0, (psnr0, psnr1)
