@@ -41,8 +41,20 @@ def bench_config():
 
 
 def main():
+    import os
+
     import jax
     import jax.numpy as jnp
+
+    # persistent compile cache: repeated bench runs (and the driver's) skip
+    # the multi-minute remote compile
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".jax_cache")
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+    except Exception:
+        pass
 
     from hybridneuralrendering_tpu.data.synthetic import (
         make_synthetic_batch, make_synthetic_scene)
