@@ -37,7 +37,7 @@ def render_full_frame(params, points, grid, dataset, frame_idx, cfg):
     done = 0
     for ci in range(chunks.shape[0]):
         batch = dataset.get_batch(frame_idx, pixelcoords=chunks[ci][:, None, :])
-        batch = {k: v for k, v in batch.items() if k != "vid"}
+        batch = step_mod.device_batch(batch)
         out = step_mod.eval_step(params, points, grid, batch, cfg)
         take = min(chunk, n_valid - done)
         img[done:done + take] = np.asarray(out["coarse_raycolor"])[:take]

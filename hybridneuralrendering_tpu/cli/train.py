@@ -79,15 +79,14 @@ def evaluate(params, points, grid, test_ds, cfg, vis, step, num_frames):
     chunk = cfg.sampling.rays_per_batch
     psnrs = []
     stride = max(len(test_ds) // max(num_frames, 1), 1)
-    for fi in range(0, len(test_ds), stride)[:num_frames] if False else \
-            list(range(0, len(test_ds), stride))[:num_frames]:
+    for fi in list(range(0, len(test_ds), stride))[:num_frames]:
         pix = sampling.full_image_grid(H, W)
         chunks, n_valid = sampling.chunk_pixels(pix, chunk)
         img = np.zeros((H * W, 3), np.float32)
         done = 0
         for ci in range(chunks.shape[0]):
             batch = test_ds.get_batch(fi, pixelcoords=chunks[ci][:, None, :])
-            batch = {k: v for k, v in batch.items() if k != "vid"}
+            batch = step_mod.device_batch(batch)
             out = step_mod.eval_step(params, points, grid, batch, cfg)
             take = min(chunk, n_valid - done)
             img[done:done + take] = np.asarray(
@@ -144,6 +143,12 @@ def main(argv=None):
     points = npts.init_from_arrays(xyz, cfg.points, key=key)
     geom = VG.compute_grid_geometry(xyz, np.ones(len(xyz), bool), cfg.querier)
     grid = VG.build_grid_jit(points.xyz, points.mask, geom, cfg.querier)
+    if grid.num_nodes is not None and \
+            int(grid.num_nodes) >= cfg.querier.max_nodes:
+        raise ValueError(
+            f"supervoxel node table full ({int(grid.num_nodes)} >= "
+            f"max_nodes={cfg.querier.max_nodes}): raise QuerierConfig."
+            f"max_nodes or disable supervoxel")
 
     params = renderer.init_params(key, cfg)
     ts = state_mod.create_train_state(params, points, cfg)
@@ -163,6 +168,28 @@ def main(argv=None):
     tracker = lifecycle.RayMissTracker()
     max_steps = args.max_steps or cfg.optim.maximum_step
     prob_freq = args.prob_freq or cfg.probe.prob_freq
+
+    # image-pyramid cache: cached steps reuse per-view CNN stage maps; the
+    # CNN trains (and the cache refreshes) in bursts — OptimConfig schedule
+    pyr_cache = None
+    if cfg.optim.pyramid_cache and cfg.agg.use_nearest > 0:
+        from hybridneuralrendering_tpu.train.pyramid_cache import PyramidCache
+        pyr_cache = PyramidCache(cfg)
+        vis.log(f"pyramid cache on: burst {cfg.optim.pyramid_burst_steps}/"
+                f"{cfg.optim.pyramid_cycle_steps} steps")
+
+    def in_burst(s: int) -> bool:
+        if pyr_cache is None:
+            return True
+        return (s % cfg.optim.pyramid_cycle_steps) < cfg.optim.pyramid_burst_steps
+
+    def staged_features(b):
+        """Cached (images, stages) for one frame's nearest-view stack."""
+        nvids = b.get("nearest_vids")
+        if pyr_cache is None or nvids is None:
+            return None
+        stages = pyr_cache.get_stack(ts.params, b["images_nearest"], nvids)
+        return (jnp.asarray(b["images_nearest"]), stages)
 
     vis.log(f"training {name}: {max_steps} steps, "
             f"{cfg.sampling.rays_per_batch} rays/step, "
@@ -199,22 +226,38 @@ def main(argv=None):
         b["raydir"], b["gt_image"] = dirs, rgb
         return fi, b
 
+    was_burst = True
     while step < max_steps:
+        burst = in_burst(step)
+        if pyr_cache is not None and burst and not was_burst:
+            pyr_cache.invalidate()      # CNN params about to change
+        was_burst = burst
+        use_cache = pyr_cache is not None and not burst
         if args.frames_per_step > 1:
-            frames = []
+            frames, staged_list = [], []
             fi = 0
             for _ in range(args.frames_per_step):
                 fi, b = next_batch(step)
-                b.pop("vid", None)
-                frames.append(b)
+                if use_cache:
+                    staged_list.append(staged_features(b))
+                frames.append(step_mod.device_batch(b))
             batches = step_mod.stack_batches(frames)
+            staged = None
+            if use_cache and all(s is not None for s in staged_list):
+                staged = (
+                    jnp.stack([s[0] for s in staged_list]),
+                    tuple(jnp.stack([s[1][j] for s in staged_list])
+                          for j in range(3)))
             ts, items = step_mod.train_step_multi(
-                ts, grid, batches, jax.random.fold_in(key, step), kernels, cfg)
+                ts, grid, batches, jax.random.fold_in(key, step), kernels,
+                cfg, staged)
         else:
             fi, batch = next_batch(step)
-            batch.pop("vid", None)
+            staged = staged_features(batch) if use_cache else None
+            batch = step_mod.device_batch(batch)
             ts, items = step_mod.train_step(
-                ts, grid, batch, jax.random.fold_in(key, step), kernels, cfg)
+                ts, grid, batch, jax.random.fold_in(key, step), kernels, cfg,
+                staged)
         step = int(ts.step)
 
         if "loss_ray_miss_coarse_raycolor" in items:

@@ -64,6 +64,17 @@ class QuerierConfig:
     sample_jitter: float = 0.3
     # 'linear' | 'disparity' candidate spacing along the ray.
     sample_mode: str = "linear"
+    # Supervoxel fast path: each kernel_size-dilated voxel stores ONE packed
+    # bucket of every point in its whole kernel_size neighborhood, so the
+    # per-sample K-NN is a single aligned row gather instead of 27 bucket
+    # gathers + 9 occupancy-window gathers (the round-1 hot spot).  Exact in
+    # the non-overflow regime (<= Ps points per neighborhood), same caveat as
+    # the per-voxel buckets (SURVEY §7.3).
+    supervoxel: bool = True
+    # Max points per supervoxel (kernel_size-window) bucket.
+    Ps: int = 64
+    # Compact supervoxel-node capacity (kernel_size-dilated occupied voxels).
+    max_nodes: int = 2_500_000
 
     @property
     def query_vsize(self) -> Tuple[float, float, float]:
@@ -260,6 +271,15 @@ class OptimConfig:
     maximum_step: int = 200_000
     beta1: float = 0.9
     beta2: float = 0.999
+    # Image-pyramid cache schedule.  The reference re-runs the aux CNN over
+    # the 4 nearest views every step (point_aggregators.py:1059-1068 — SURVEY
+    # hot-loop (c)); here per-view stage maps are cached on device and the CNN
+    # trains in bursts: the first `pyramid_burst_steps` of every
+    # `pyramid_cycle_steps` run uncached (gradients flow into the CNN), the
+    # rest consume cached features; the cache invalidates when a burst ends.
+    pyramid_cache: bool = True
+    pyramid_cycle_steps: int = 400
+    pyramid_burst_steps: int = 40
 
 
 @dataclass(frozen=True)
@@ -381,7 +401,8 @@ def tiny_test() -> Config:
         querier=QuerierConfig(
             vsize=(0.05, 0.05, 0.05), vscale=(2, 2, 2), SR=6, K=4, P=8,
             max_o=4096, z_depth_dim=32, grid_capacity=200_000,
-            ranges=(-2.0, -2.0, -2.0, 2.0, 2.0, 2.0)),
+            ranges=(-2.0, -2.0, -2.0, 2.0, 2.0, 2.0),
+            Ps=32, max_nodes=60_000),
         points=PointsConfig(num_points=2048, feature_dim=8),
         agg=AggregatorConfig(
             point_features_dim=8, shading_feature_num=128, use_nearest=2,

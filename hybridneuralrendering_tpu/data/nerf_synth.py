@@ -164,5 +164,6 @@ class NerfSynthScene:
                 "campos_nearest": c2ws[:, :3, 3].astype(np.float32),
                 "intrinsic_nearest": self.intrinsic,
                 "frame_weight_nearest": np.ones(V, np.float32),
+                "nearest_vids": np.asarray(near, np.int64),
             })
         return batch

@@ -214,5 +214,6 @@ class ScannetScene:
                 "campos_nearest": np.stack(poss).astype(np.float32),
                 "intrinsic_nearest": self.intrinsic,
                 "frame_weight_nearest": np.asarray(fws, np.float32),
+                "nearest_vids": np.asarray(near_ids, np.int64),
             })
         return batch

@@ -284,6 +284,7 @@ def apply(params: Dict, cfg: AggregatorConfig, *,
           sampled_dir, sampled_conf, pnt_mask, sample_loc, sample_loc_w,
           sample_ray_dirs, vsize,
           img_feat_n: Optional[jnp.ndarray] = None,
+          img_feat_staged=None,
           sample_loc_i_n: Optional[jnp.ndarray] = None,
           delta_viewdir_n: Optional[jnp.ndarray] = None,
           frame_weight_n: Optional[jnp.ndarray] = None,
@@ -294,6 +295,9 @@ def apply(params: Dict, cfg: AggregatorConfig, *,
 
     img_feat_n: [V, H, W, 45] precomputed pyramid features of nearest views
     (cache-friendly split from the CNN — see feature_pyramid.apply).
+    img_feat_staged: alternative to img_feat_n — (images [V,H,W,3],
+    (s1,s2,s3) pre-upsample stage maps); per-sample bilinear gathers replace
+    the full-res upsample+lookup (16x smaller cache, same values).
     sample_loc_i_n: [V, R, SR, 2] reprojected pixel positions.
     drop_mask: [R] bool — rays whose image features are dropped (train only).
     """
@@ -386,15 +390,25 @@ def apply(params: Dict, cfg: AggregatorConfig, *,
         color_feature = color_feature * 0.0
 
     aux_c = cfg.aux_feature_channels
-    use_nearest = cfg.use_nearest if img_feat_n is not None else 0
+    has_img = img_feat_n is not None or img_feat_staged is not None
+    use_nearest = cfg.use_nearest if has_img else 0
     if use_nearest > 0:
-        V, H, W, _ = img_feat_n.shape
+        if img_feat_staged is not None:
+            images_n, stages = img_feat_staged
+            V, H, W, _ = images_n.shape
+        else:
+            V, H, W, _ = img_feat_n.shape
         px = sample_loc_i_n[..., 0].astype(jnp.int32)            # [V, R, SR]
         py = sample_loc_i_n[..., 1].astype(jnp.int32)
         valid = ((px >= 0) & (px < W) & (py >= 0) & (py < H))
         pxc, pyc = jnp.clip(px, 0, W - 1), jnp.clip(py, 0, H - 1)
         vidx = jnp.arange(V)[:, None, None]
-        img_feat = img_feat_n[vidx, pyc, pxc]                    # [V,R,SR,45]
+        if img_feat_staged is not None:
+            from hybridneuralrendering_tpu.models import feature_pyramid
+            img_feat = feature_pyramid.gather_staged(
+                images_n, stages, pyc, pxc)                      # [V,R,SR,45]
+        else:
+            img_feat = img_feat_n[vidx, pyc, pxc]                # [V,R,SR,45]
         img_feat = img_feat * valid[..., None].astype(f32)
 
         if cfg.tradition_attention:

@@ -38,21 +38,80 @@ def init(key, act: str = "leaky_relu", in_ch: int = 3) -> Dict:
     }
 
 
-def apply(params: Dict, images: jnp.ndarray, act: str = "leaky_relu",
-          compute_dtype=None) -> jnp.ndarray:
-    """images: [V, H, W, 3] -> [V, H, W, 45] feature pyramid."""
+def apply_stages(params: Dict, images: jnp.ndarray, act: str = "leaky_relu",
+                 compute_dtype=None):
+    """images: [V, H, W, 3] -> pre-upsample stage maps
+    (s1 [V,H/2,W/2,6], s2 [V,H/4,W/4,12], s3 [V,H/8,W/8,24]).
+
+    The pre-upsample maps are what the trainer caches per view: 16x smaller
+    than the full-res 45-channel concat (6/4 + 12/16 + 24/64 = 2.6 channel-
+    equivalents vs 42), so a whole ScanNet train split fits on-device."""
     f = mlp.activation(act)
     cdt = compute_dtype
-    V, H, W, _ = images.shape
     s1 = f(mlp.conv2d_apply(params["s1a"], images, stride=2, compute_dtype=cdt))
     s1 = f(mlp.conv2d_apply(params["s1b"], s1, compute_dtype=cdt))
     s2 = f(mlp.conv2d_apply(params["s2a"], s1, stride=2, compute_dtype=cdt))
     s2 = f(mlp.conv2d_apply(params["s2b"], s2, compute_dtype=cdt))
     s3 = f(mlp.conv2d_apply(params["s3a"], s2, stride=2, compute_dtype=cdt))
     s3 = f(mlp.conv2d_apply(params["s3b"], s3, compute_dtype=cdt))
+    return s1, s2, s3
+
+
+def apply(params: Dict, images: jnp.ndarray, act: str = "leaky_relu",
+          compute_dtype=None) -> jnp.ndarray:
+    """images: [V, H, W, 3] -> [V, H, W, 45] feature pyramid."""
+    V, H, W, _ = images.shape
+    s1, s2, s3 = apply_stages(params, images, act, compute_dtype)
     return jnp.concatenate([
         images,
         mlp.bilinear_resize(s1, H, W),
         mlp.bilinear_resize(s2, H, W),
         mlp.bilinear_resize(s3, H, W),
     ], axis=-1)
+
+
+def _bilinear_gather(stage: jnp.ndarray, py: jnp.ndarray, px: jnp.ndarray,
+                     H: int, W: int) -> jnp.ndarray:
+    """Sample `stage` [V, h, w, C] at full-res integer pixels (py, px) [V, ...]
+    exactly as nearest-pixel lookup of bilinear_resize(stage, H, W) would —
+    jax.image.resize 'bilinear' uses half-pixel centers with edge clamp:
+    src = (dst + 0.5) * (h_small / H) - 0.5."""
+    V, h, w, C = stage.shape
+    sy = (py.astype(jnp.float32) + 0.5) * (h / H) - 0.5
+    sx = (px.astype(jnp.float32) + 0.5) * (w / W) - 0.5
+    y0 = jnp.floor(sy)
+    x0 = jnp.floor(sx)
+    wy = sy - y0
+    wx = sx - x0
+    y0i = jnp.clip(y0.astype(jnp.int32), 0, h - 1)
+    y1i = jnp.clip(y0.astype(jnp.int32) + 1, 0, h - 1)
+    x0i = jnp.clip(x0.astype(jnp.int32), 0, w - 1)
+    x1i = jnp.clip(x0.astype(jnp.int32) + 1, 0, w - 1)
+    vidx = jnp.arange(V).reshape((V,) + (1,) * (py.ndim - 1))
+    f00 = stage[vidx, y0i, x0i]
+    f01 = stage[vidx, y0i, x1i]
+    f10 = stage[vidx, y1i, x0i]
+    f11 = stage[vidx, y1i, x1i]
+    wy = wy[..., None]
+    wx = wx[..., None]
+    top = f00 * (1 - wx) + f01 * wx
+    bot = f10 * (1 - wx) + f11 * wx
+    return top * (1 - wy) + bot * wy
+
+
+def gather_staged(images: jnp.ndarray, stages, py: jnp.ndarray,
+                  px: jnp.ndarray) -> jnp.ndarray:
+    """Per-sample feature gather from cached stage maps.
+
+    images: [V, H, W, 3]; stages: (s1, s2, s3) from apply_stages; py/px:
+    [V, ...] integer pixel coords (already clipped in-bounds).  Returns
+    [V, ..., 45], numerically matching
+    `apply(...)[vidx, py, px]` (the aggregator's nearest-pixel lookup of the
+    upsampled concat) to bilinear-interpolation rounding."""
+    V, H, W, _ = images.shape
+    vidx = jnp.arange(V).reshape((V,) + (1,) * (py.ndim - 1))
+    parts = [images[vidx, py, px]]
+    for stage in stages:
+        parts.append(_bilinear_gather(stage.astype(images.dtype), py, px,
+                                      H, W))
+    return jnp.concatenate(parts, axis=-1)

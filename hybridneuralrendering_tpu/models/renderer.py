@@ -46,10 +46,21 @@ def compute_image_features(params: Dict, cfg: Config,
                                  compute_dtype=cdt)
 
 
+def compute_image_feature_stages(params: Dict, cfg: Config,
+                                 images_nearest: jnp.ndarray):
+    """[V, H, W, 3] -> pre-upsample stage maps (s1, s2, s3) — the compact
+    cacheable form (16x smaller than the 45-ch full-res concat)."""
+    cdt = jnp.bfloat16 if cfg.agg.compute_dtype == "bfloat16" else None
+    return feature_pyramid.apply_stages(params["aggregator"]["pyramid"],
+                                        images_nearest, cfg.agg.act_type,
+                                        compute_dtype=cdt)
+
+
 def render(params: Dict, points: npts.NeuralPoints, grid: PointGrid,
            batch: Dict, cfg: Config, key: Optional[jax.Array] = None,
            train: bool = False,
            img_feat_n: Optional[jnp.ndarray] = None,
+           img_feat_staged=None,
            prob: bool = False) -> Dict:
     """Render one batch of rays.
 
@@ -91,7 +102,7 @@ def render(params: Dict, points: npts.NeuralPoints, grid: PointGrid,
         delta_vd_n = jax.vmap(
             lambda cn: delta_viewdirs(qres.sample_loc_w, campos, cn))(
             campos_n)                                          # [V, R, SR, 3]
-        if img_feat_n is None:
+        if img_feat_n is None and img_feat_staged is None:
             img_feat_n = compute_image_features(
                 params, cfg, batch["images_nearest"])
 
@@ -113,7 +124,8 @@ def render(params: Dict, points: npts.NeuralPoints, grid: PointGrid,
         sampled_dir=sampled.dirs, sampled_conf=sampled.conf,
         pnt_mask=qres.pnt_mask, sample_loc=sample_loc,
         sample_loc_w=qres.sample_loc_w, sample_ray_dirs=sample_ray_dirs,
-        img_feat_n=img_feat_n, sample_loc_i_n=sample_loc_i_n,
+        img_feat_n=img_feat_n, img_feat_staged=img_feat_staged,
+        sample_loc_i_n=sample_loc_i_n,
         delta_viewdir_n=delta_vd_n, frame_weight_n=frame_w_n,
         drop_mask=drop_mask, sampled_rw2c=sampled.rw2c))
 

@@ -49,8 +49,53 @@ def _window_gather_1d(table: jnp.ndarray, starts: jnp.ndarray, w: int,
     return out.reshape(starts.shape + (w,))
 
 
+def _knn_supervoxel(grid: PointGrid, sample_loc: jnp.ndarray,
+                    sample_mask: jnp.ndarray, cfg: QuerierConfig):
+    """Supervoxel fast path: the full kernel_size candidate neighborhood of a
+    shading sample is ONE packed node bucket (voxel_grid._build_supervoxel),
+    so the per-sample work is a single [S] coor2node lookup + a single
+    lane-aligned row gather + a K-min select over Ps candidates — replacing
+    the 9 occupancy-window gathers + 27 bucket-row gathers of the per-voxel
+    path (round-1 profile: 29 ms + 50 ms at the canonical workload).
+    Semantics identical in the non-overflow regime."""
+    R, SR, _ = sample_loc.shape
+    K, Ps = cfg.K, cfg.Ps
+    cap = cfg.grid_capacity
+    radius2 = np.float32(cfg.radius_limit ** 2) if cfg.radius_limit > 0 \
+        else np.float32(1e18)
+    BIG = jnp.float32(1e30)
+    S = R * SR
+    loc_s = sample_loc.reshape(S, 3)
+    svox = voxel_coords(loc_s, grid.geom)
+    vid = linearize(svox, grid.geom, cap)
+    node = grid.coor2node.at[vid].get(mode="fill", fill_value=-1)  # [S]
+    valid_node = node >= 0
+    node_safe = jnp.where(valid_node, node, 0)
+    bucket = grid.node_bucket[node_safe]                        # [S, BWs]
+    px = bucket[:, 0 * Ps: 1 * Ps]
+    py = bucket[:, 1 * Ps: 2 * Ps]
+    pz = bucket[:, 2 * Ps: 3 * Ps]
+    pids = jax.lax.bitcast_convert_type(
+        bucket[:, 3 * Ps: 4 * Ps], jnp.int32)
+    pids = jnp.where(valid_node[:, None], pids, -1)
+    d2 = ((px - loc_s[:, :1]) ** 2 + (py - loc_s[:, 1:2]) ** 2
+          + (pz - loc_s[:, 2:3]) ** 2)                          # [S, Ps]
+    d2 = jnp.where((d2 <= radius2) & valid_node[:, None], d2, BIG)
+
+    from hybridneuralrendering_tpu.ops.pallas_select import k_smallest_auto
+    best_d_s, best_i_s = k_smallest_auto(d2, pids, K)
+    return best_d_s.reshape(R, SR, K), best_i_s.reshape(R, SR, K)
+
+
 def knn_over_grid(grid: PointGrid, sample_loc: jnp.ndarray,
                   sample_mask: jnp.ndarray, cfg: QuerierConfig):
+    if cfg.supervoxel and grid.node_bucket is not None:
+        return _knn_supervoxel(grid, sample_loc, sample_mask, cfg)
+    return _knn_per_voxel(grid, sample_loc, sample_mask, cfg)
+
+
+def _knn_per_voxel(grid: PointGrid, sample_loc: jnp.ndarray,
+                   sample_mask: jnp.ndarray, cfg: QuerierConfig):
     """Exact K nearest grid points for each shading sample.
 
     sample_loc: [R, SR, 3] in the grid's coordinate system (world or

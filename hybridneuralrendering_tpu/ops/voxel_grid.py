@@ -27,7 +27,7 @@ check; the tables themselves build on device under jit.
 
 from __future__ import annotations
 
-from typing import NamedTuple, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -56,6 +56,14 @@ class PointGrid(NamedTuple):
     #   instead of small unaligned xyz/pid rows (the gather-bandwidth fix)
     occ_numpnts: jnp.ndarray  # [max_o] i32
     num_occ: jnp.ndarray      # [] i32 — live occupied-voxel count
+    # Supervoxel fast path (cfg.supervoxel): one bucket per kernel_size-
+    # dilated voxel holding ALL points of its kernel_size neighborhood, so a
+    # shading sample resolves its full candidate set with ONE coor2node
+    # lookup + ONE aligned row gather (instead of 9 occupancy windows + 27
+    # per-voxel bucket rows).  None when cfg.supervoxel is off.
+    coor2node: Optional[jnp.ndarray] = None   # [grid_capacity] i32, -1 = none
+    node_bucket: Optional[jnp.ndarray] = None  # [max_nodes, BWs] planar packed
+    num_nodes: Optional[jnp.ndarray] = None    # [] i32
 
 
 # sentinel coordinate for empty bucket slots: distances computed against it
@@ -66,6 +74,65 @@ XYZ_SENTINEL = 1e9
 def bucket_width(P: int) -> int:
     """Packed bucket row width: 4 planes of P floats, lane-aligned to 128."""
     return -(-(4 * P) // 128) * 128
+
+
+def _build_supervoxel(xyz: jnp.ndarray, point_mask: jnp.ndarray,
+                      coords: jnp.ndarray, geom: GridGeometry,
+                      cfg: QuerierConfig):
+    """Supervoxel node tables (see PointGrid docstring).
+
+    Every point is replicated to the |kernel_size| voxels whose neighborhood
+    window contains it (reflected offsets — correct for asymmetric even
+    windows); the replicated (dest voxel, point) pairs sort by dest voxel and
+    fill per-node buckets exactly like the per-voxel build, so the result is
+    deterministic and exact while no node holds > Ps window points.
+    """
+    N = xyz.shape[0]
+    cap = cfg.grid_capacity
+    Ps = cfg.Ps
+    max_nodes = cfg.max_nodes
+
+    offs = jnp.asarray(-_neighbor_offsets(cfg.kernel_size))   # [Q, 3] reflected
+    Qn = offs.shape[0]
+    dest = coords[None, :, :] + offs[:, None, :]              # [Q, N, 3]
+    dvid = linearize(dest, geom, cap)                          # [Q, N]
+    dvid = jnp.where(point_mask[None, :], dvid, cap)
+    flat = dvid.reshape(-1)                                    # [Q*N]
+
+    order = jnp.argsort(flat, stable=True)
+    sdv = flat[order]
+    src_pid = (order % N).astype(jnp.int32)
+
+    valid = sdv < cap
+    head = jnp.concatenate(
+        [valid[:1], (sdv[1:] != sdv[:-1]) & valid[1:]])
+    node_idx = jnp.cumsum(head.astype(jnp.int32)) - 1
+    num_nodes = jnp.sum(head.astype(jnp.int32))
+    in_cap = valid & (node_idx < max_nodes)
+
+    pos = jnp.arange(Qn * N, dtype=jnp.int32)
+    seg_start = jax.lax.cummax(jnp.where(head, pos, -1))
+    rank = pos - seg_start
+    keep = in_cap & (rank < Ps)
+    dest_n = jnp.where(keep, node_idx, max_nodes)
+    dest_r = jnp.clip(rank, 0, Ps - 1)
+
+    sxyz = xyz[src_pid].astype(jnp.float32)                    # [Q*N, 3]
+    planes = []
+    for a in range(3):
+        pl_ = jnp.full((max_nodes, Ps), XYZ_SENTINEL, jnp.float32)
+        planes.append(pl_.at[dest_n, dest_r].set(sxyz[:, a], mode="drop"))
+    node_pid = jnp.full((max_nodes, Ps), -1, jnp.int32)
+    node_pid = node_pid.at[dest_n, dest_r].set(src_pid, mode="drop")
+    BWs = bucket_width(Ps)
+    node_bucket = jnp.concatenate(
+        planes + [jax.lax.bitcast_convert_type(node_pid, jnp.float32),
+                  jnp.zeros((max_nodes, BWs - 4 * Ps), jnp.float32)], axis=-1)
+
+    coor2node = jnp.full((cap,), -1, jnp.int32)
+    coor2node = coor2node.at[jnp.where(head & in_cap, sdv, cap)].set(
+        node_idx, mode="drop")
+    return coor2node, node_bucket, jnp.minimum(num_nodes, max_nodes)
 
 
 def compute_grid_geometry(xyz: np.ndarray, point_mask: np.ndarray,
@@ -232,10 +299,16 @@ def build_grid(xyz: jnp.ndarray, point_mask: jnp.ndarray, geom: GridGeometry,
         occ_pnt_xyz[..., 0], occ_pnt_xyz[..., 1], occ_pnt_xyz[..., 2], pid_f,
         jnp.zeros((max_o, BW - 4 * P), jnp.float32)], axis=-1)
 
+    coor2node = node_bucket = num_nodes = None
+    if cfg.supervoxel:
+        coor2node, node_bucket, num_nodes = _build_supervoxel(
+            xyz, point_mask, coords, geom, cfg)
+
     return PointGrid(
         geom=geom, coor2occ=coor2occ, occ_dilated=occ_dilated,
         occ_pnts=occ_pnts, occ_pnt_xyz=occ_pnt_xyz, occ_bucket=occ_bucket,
-        occ_numpnts=occ_numpnts, num_occ=jnp.minimum(num_occ, max_o))
+        occ_numpnts=occ_numpnts, num_occ=jnp.minimum(num_occ, max_o),
+        coor2node=coor2node, node_bucket=node_bucket, num_nodes=num_nodes)
 
 
 build_grid_jit = jax.jit(build_grid, static_argnames="cfg")

@@ -77,7 +77,8 @@ def probe_frame(params, points, grid, dataset, frame_idx: int, cfg: Config
     for ci in range(chunks.shape[0]):
         pc = chunks[ci].reshape(chunk, 1, 2)
         batch = dataset.get_batch(frame_idx, pixelcoords=pc)
-        batch = {k: v for k, v in batch.items() if k != "vid"}
+        batch = {k: v for k, v in batch.items()
+                 if k not in ("vid", "nearest_vids")}
         out = step_mod.eval_step(params, points, grid, batch, cfg, prob=True)
         px = chunks[ci, :, 0].astype(int)
         py = chunks[ci, :, 1].astype(int)

@@ -5,6 +5,13 @@ Composition mirrors `optimize_parameters` + `forward`
 blur-degrade the prediction -> masked losses -> two Adam updates (network
 params at lr, point attributes at plr).  Blur simulation and frame weights ride
 inside the differentiated function exactly as in the reference.
+
+Pyramid caching (a deliberate improvement over the reference, which re-runs
+the aux CNN every step — point_aggregators.py:1059-1068): pass
+`img_feat_staged` = (images [V,H,W,3], (s1,s2,s3) stage maps from
+`renderer.compute_image_feature_stages`) and the step consumes cached
+features; the pyramid CNN gets gradients only on refresh steps where the
+caller omits the cache (see cli/train.py).
 """
 
 from __future__ import annotations
@@ -24,14 +31,24 @@ from hybridneuralrendering_tpu.train import state as state_mod
 from hybridneuralrendering_tpu.train.state import TrainState
 
 
+HOST_KEYS = ("vid", "nearest_vids")
+
+
+def device_batch(batch: Dict) -> Dict:
+    """Drop host-only batch keys (frame/nearest-view ids) before jit."""
+    return {k: v for k, v in batch.items() if k not in HOST_KEYS}
+
+
 def forward_with_blur(params: Dict, points, grid: PointGrid, batch: Dict,
                       cfg: Config, key, blur_kernels: Optional[jnp.ndarray],
                       train: bool,
-                      img_feat_n: Optional[jnp.ndarray] = None) -> Dict:
+                      img_feat_n: Optional[jnp.ndarray] = None,
+                      img_feat_staged=None) -> Dict:
     """Render + (train-time) blur degradation of the predicted colors
     (mvs_points_volumetric_model.py:133-152)."""
     out = renderer.render(params, points, grid, batch, cfg, key=key,
-                          train=train, img_feat_n=img_feat_n)
+                          train=train, img_feat_n=img_feat_n,
+                          img_feat_staged=img_feat_staged)
     if train:
         pn, ps = cfg.sampling.dilation_patch_num, cfg.sampling.dilation_patch_size
         if cfg.agg.learnable_blur_kernel:
@@ -47,11 +64,12 @@ def forward_with_blur(params: Dict, points, grid: PointGrid, batch: Dict,
 def loss_fn(params: Dict, pts_tree: Dict, static_points, grid: PointGrid,
             batch: Dict, cfg: Config, key,
             blur_kernels: Optional[jnp.ndarray],
-            img_feat_n: Optional[jnp.ndarray] = None
-            ) -> Tuple[jnp.ndarray, Dict]:
+            img_feat_n: Optional[jnp.ndarray] = None,
+            img_feat_staged=None) -> Tuple[jnp.ndarray, Dict]:
     points = state_mod.merge_point_params(static_points, pts_tree)
     out = forward_with_blur(params, points, grid, batch, cfg, key,
-                            blur_kernels, train=True, img_feat_n=img_feat_n)
+                            blur_kernels, train=True, img_feat_n=img_feat_n,
+                            img_feat_staged=img_feat_staged)
     frame_weight = batch.get("frame_weight") if cfg.loss.use_frame_weight else None
     total, items = losses_mod.compute_losses(
         out, batch["gt_image"], cfg.loss, frame_weight)
@@ -59,19 +77,39 @@ def loss_fn(params: Dict, pts_tree: Dict, static_points, grid: PointGrid,
     return total, items
 
 
-@partial(jax.jit, static_argnames=("cfg",),
-         donate_argnames=("train_state",))
-def train_step(train_state: TrainState, grid: PointGrid, batch: Dict,
-               key, blur_kernels, cfg: Config
-               ) -> Tuple[TrainState, Dict]:
+def multi_loss_fn(params: Dict, pts_tree: Dict, static_points,
+                  grid: PointGrid, batches: Dict, cfg: Config, key,
+                  blur_kernels,
+                  img_feat_staged=None) -> Tuple[jnp.ndarray, Dict]:
+    """batches: per-frame-stacked batch dict (leading axis F on every leaf).
+    img_feat_staged leaves, when given, also carry the leading F axis."""
+    points = state_mod.merge_point_params(static_points, pts_tree)
+    F = batches["raydir"].shape[0]
+    keys = jax.random.split(key, F)
+
+    def one(batch_f, key_f, staged_f):
+        out = forward_with_blur(params, points, grid, batch_f, cfg, key_f,
+                                blur_kernels, train=True,
+                                img_feat_staged=staged_f)
+        fw = batch_f.get("frame_weight") if cfg.loss.use_frame_weight else None
+        total, items = losses_mod.compute_losses(
+            out, batch_f["gt_image"], cfg.loss, fw)
+        return total, items
+
+    if img_feat_staged is None:
+        totals, items = jax.vmap(
+            lambda b, k: one(b, k, None))(batches, keys)
+    else:
+        totals, items = jax.vmap(one)(batches, keys, img_feat_staged)
+    items = jax.tree_util.tree_map(jnp.mean, items)
+    return jnp.mean(totals), items
+
+
+def _apply_updates(train_state: TrainState, pts_tree: Dict,
+                   g_net, g_pts, items: Dict, cfg: Config) -> TrainState:
+    """Shared two-Adam update body (net params at lr, point attrs at plr —
+    mvs_points_volumetric_model.py:49-104)."""
     opt_net, opt_pts = state_mod.make_optimizers(cfg.optim)
-    pts_tree = state_mod.point_param_tree(train_state.points, cfg)
-
-    (total, items), (g_net, g_pts) = jax.value_and_grad(
-        loss_fn, argnums=(0, 1), has_aux=True)(
-        train_state.params, pts_tree, train_state.points, grid, batch, cfg,
-        key, blur_kernels)
-
     up_net, os_net = opt_net.update(g_net, train_state.opt_state_net,
                                     train_state.params)
     params = jax.tree_util.tree_map(lambda p, u: p + u,
@@ -79,11 +117,42 @@ def train_step(train_state: TrainState, grid: PointGrid, batch: Dict,
     up_pts, os_pts = opt_pts.update(g_pts, train_state.opt_state_pts, pts_tree)
     pts_tree = jax.tree_util.tree_map(lambda p, u: p + u, pts_tree, up_pts)
     points = state_mod.merge_point_params(train_state.points, pts_tree)
-
-    new_state = TrainState(
+    return TrainState(
         step=train_state.step + 1, params=params, points=points,
         opt_state_net=os_net, opt_state_pts=os_pts)
-    return new_state, items
+
+
+@partial(jax.jit, static_argnames=("cfg",),
+         donate_argnames=("train_state",))
+def train_step(train_state: TrainState, grid: PointGrid, batch: Dict,
+               key, blur_kernels, cfg: Config,
+               img_feat_staged=None) -> Tuple[TrainState, Dict]:
+    pts_tree = state_mod.point_param_tree(train_state.points, cfg)
+    (total, items), (g_net, g_pts) = jax.value_and_grad(
+        loss_fn, argnums=(0, 1), has_aux=True)(
+        train_state.params, pts_tree, train_state.points, grid, batch, cfg,
+        key, blur_kernels, None, img_feat_staged)
+    return _apply_updates(train_state, pts_tree, g_net, g_pts, items,
+                          cfg), items
+
+
+@partial(jax.jit, static_argnames=("cfg",), donate_argnames=("train_state",))
+def train_step_multi(train_state: TrainState, grid: PointGrid, batches: Dict,
+                     key, blur_kernels, cfg: Config,
+                     img_feat_staged=None) -> Tuple[TrainState, Dict]:
+    """One optimizer step over F frames' ray batches at once.
+
+    The reference is locked to one frame per step (torch DataParallel over a
+    single batch); on TPU the latency-bound query amortizes across frames
+    vmapped in one executable — identical per-frame math, gradients average
+    over frames like a larger batch."""
+    pts_tree = state_mod.point_param_tree(train_state.points, cfg)
+    (total, items), (g_net, g_pts) = jax.value_and_grad(
+        multi_loss_fn, argnums=(0, 1), has_aux=True)(
+        train_state.params, pts_tree, train_state.points, grid, batches, cfg,
+        key, blur_kernels, img_feat_staged)
+    return _apply_updates(train_state, pts_tree, g_net, g_pts, items,
+                          cfg), items
 
 
 @partial(jax.jit, static_argnames=("cfg", "prob"))
@@ -92,59 +161,6 @@ def eval_step(params: Dict, points, grid: PointGrid, batch: Dict,
     """Deterministic render for test/probe (no jitter, no drop, no blur)."""
     return renderer.render(params, points, grid, batch, cfg, key=None,
                            train=False, prob=prob)
-
-
-# ---------------------------------------------------------------------------
-# Multi-frame batched training.  The reference is locked to one frame per
-# step (torch DataParallel over a single batch); on TPU the latency-bound
-# query amortizes across frames vmapped in one executable — a pure
-# throughput lever with identical per-frame math (gradients average over
-# frames like a larger batch).
-# ---------------------------------------------------------------------------
-
-def multi_loss_fn(params: Dict, pts_tree: Dict, static_points,
-                  grid: PointGrid, batches: Dict, cfg: Config, key,
-                  blur_kernels) -> Tuple[jnp.ndarray, Dict]:
-    """batches: per-frame-stacked batch dict (leading axis F on every leaf)."""
-    points = state_mod.merge_point_params(static_points, pts_tree)
-    F = batches["raydir"].shape[0]
-    keys = jax.random.split(key, F)
-
-    def one(batch_f, key_f):
-        out = forward_with_blur(params, points, grid, batch_f, cfg, key_f,
-                                blur_kernels, train=True)
-        fw = batch_f.get("frame_weight") if cfg.loss.use_frame_weight else None
-        total, items = losses_mod.compute_losses(
-            out, batch_f["gt_image"], cfg.loss, fw)
-        return total, items
-
-    totals, items = jax.vmap(one)(batches, keys)
-    items = jax.tree_util.tree_map(jnp.mean, items)
-    return jnp.mean(totals), items
-
-
-@partial(jax.jit, static_argnames=("cfg",), donate_argnames=("train_state",))
-def train_step_multi(train_state: TrainState, grid: PointGrid, batches: Dict,
-                     key, blur_kernels, cfg: Config
-                     ) -> Tuple[TrainState, Dict]:
-    """One optimizer step over F frames' ray batches at once."""
-    opt_net, opt_pts = state_mod.make_optimizers(cfg.optim)
-    pts_tree = state_mod.point_param_tree(train_state.points, cfg)
-    (total, items), (g_net, g_pts) = jax.value_and_grad(
-        multi_loss_fn, argnums=(0, 1), has_aux=True)(
-        train_state.params, pts_tree, train_state.points, grid, batches, cfg,
-        key, blur_kernels)
-    up_net, os_net = opt_net.update(g_net, train_state.opt_state_net,
-                                    train_state.params)
-    params = jax.tree_util.tree_map(lambda p, u: p + u,
-                                    train_state.params, up_net)
-    up_pts, os_pts = opt_pts.update(g_pts, train_state.opt_state_pts, pts_tree)
-    pts_tree = jax.tree_util.tree_map(lambda p, u: p + u, pts_tree, up_pts)
-    points = state_mod.merge_point_params(train_state.points, pts_tree)
-    new_state = TrainState(
-        step=train_state.step + 1, params=params, points=points,
-        opt_state_net=os_net, opt_state_pts=os_pts)
-    return new_state, items
 
 
 def stack_batches(batch_list):

@@ -28,12 +28,6 @@ def rmse(img: np.ndarray, ref: np.ndarray) -> float:
                                   - np.asarray(ref, np.float64)) ** 2)))
 
 
-def _gaussian_window(size: int = 11, sigma: float = 1.5) -> np.ndarray:
-    x = np.arange(size) - size // 2
-    g = np.exp(-(x ** 2) / (2 * sigma ** 2))
-    return g / g.sum()
-
-
 def _filter2d_sep(img: np.ndarray, k: np.ndarray) -> np.ndarray:
     """Separable 'valid' convolution along the first two axes."""
     from numpy.lib.stride_tricks import sliding_window_view
@@ -45,26 +39,35 @@ def _filter2d_sep(img: np.ndarray, k: np.ndarray) -> np.ndarray:
 
 
 def ssim(img: np.ndarray, ref: np.ndarray, max_val: float = 1.0,
-         k1: float = 0.01, k2: float = 0.03) -> float:
-    """Mean SSIM, gaussian 11x1.5 windows (skimage gaussian_weights=True /
-    the standard Wang et al. setting), channel-averaged."""
+         k1: float = 0.01, k2: float = 0.03, win_size: int = 11) -> float:
+    """Mean SSIM matching the reference protocol:
+    `compare_ssim(gt, img, 11, multichannel=True)`
+    (/root/reference/run/evaluate.py:60-61) — skimage defaults: UNIFORM
+    win_size x win_size window (gaussian_weights=False), sample covariance
+    (N/(N-1) normalization), per-channel SSIM maps averaged after cropping
+    (win_size-1)//2 border pixels.
+
+    `max_val` is skimage's data_range.  Note: old skimage infers
+    data_range=2.0 for float inputs (dtype range [-1,1]); numbers produced by
+    the reference's environment carry that quirk.  We default to the correct
+    1.0 for [0,1] images; pass max_val=2.0 to reproduce the quirk bit-exactly.
+    """
     img = np.asarray(img, np.float64)
     ref = np.asarray(ref, np.float64)
     if img.ndim == 2:
         img, ref = img[..., None], ref[..., None]
-    k = _gaussian_window()
+    k = np.full((win_size,), 1.0 / win_size)
+    npix = win_size * win_size
+    cov_norm = npix / (npix - 1.0)          # skimage use_sample_covariance
     c1, c2 = (k1 * max_val) ** 2, (k2 * max_val) ** 2
     vals = []
     for c in range(img.shape[-1]):
         x, y = img[..., c], ref[..., c]
         mx = _filter2d_sep(x, k)
         my = _filter2d_sep(y, k)
-        mxx = _filter2d_sep(x * x, k)
-        myy = _filter2d_sep(y * y, k)
-        mxy = _filter2d_sep(x * y, k)
-        vx = mxx - mx ** 2
-        vy = myy - my ** 2
-        cov = mxy - mx * my
+        vx = cov_norm * (_filter2d_sep(x * x, k) - mx ** 2)
+        vy = cov_norm * (_filter2d_sep(y * y, k) - my ** 2)
+        cov = cov_norm * (_filter2d_sep(x * y, k) - mx * my)
         s = ((2 * mx * my + c1) * (2 * cov + c2)) / (
             (mx ** 2 + my ** 2 + c1) * (vx + vy + c2))
         vals.append(s.mean())

@@ -14,7 +14,8 @@ def small_cfg(**kw):
         vsize=(0.05, 0.05, 0.05), vscale=(2, 2, 2), kernel_size=(3, 3, 3),
         query_size=(3, 3, 3), z_depth_dim=64, SR=8, K=4, P=16, max_o=8192,
         ranges=(-2.0, -2.0, -2.0, 2.0, 2.0, 2.0), grid_capacity=300_000,
-        radius_limit_scale=0.0, sample_jitter=0.0)
+        radius_limit_scale=0.0, sample_jitter=0.0,
+        supervoxel=False, Ps=64, max_nodes=120_000)
     base.update(kw)
     return QuerierConfig(**base)
 
@@ -182,6 +183,99 @@ class TestQuery:
                     np.sort(dist[np.argsort(dist)[:k]]), rtol=1e-5)
                 checked += 1
         assert checked > 20
+
+    def test_supervoxel_matches_per_voxel_path(self):
+        """Supervoxel fast path == legacy per-voxel path (non-overflow)."""
+        cfg_sv = small_cfg(supervoxel=True)
+        cfg_pv = small_cfg(supervoxel=False)
+        xyz, grid = self._setup(cfg_sv)
+        campos = jnp.asarray([0.0, 0.0, -3.0])
+        rng = np.random.default_rng(5)
+        targets = xyz[rng.integers(0, len(xyz), 24)]
+        dirs = targets - np.asarray(campos)
+        dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+        dirs = jnp.asarray(dirs, jnp.float32)
+        r_sv = Q.query_points(grid, jnp.asarray(xyz), campos, dirs, cfg_sv,
+                              near=1.0, far=6.0)
+        r_pv = Q.query_points(grid, jnp.asarray(xyz), campos, dirs, cfg_pv,
+                              near=1.0, far=6.0)
+        np.testing.assert_array_equal(np.asarray(r_sv.sample_mask),
+                                      np.asarray(r_pv.sample_mask))
+        np.testing.assert_array_equal(np.asarray(r_sv.pnt_mask),
+                                      np.asarray(r_pv.pnt_mask))
+        np.testing.assert_array_equal(np.asarray(r_sv.ray_mask),
+                                      np.asarray(r_pv.ray_mask))
+        # same neighbor sets (ties may reorder between paths)
+        a = np.sort(np.asarray(r_sv.sample_pidx), axis=-1)
+        b = np.sort(np.asarray(r_pv.sample_pidx), axis=-1)
+        np.testing.assert_array_equal(a, b)
+
+    def test_supervoxel_knn_matches_bruteforce(self):
+        cfg = small_cfg(supervoxel=True)
+        xyz, grid = self._setup(cfg)
+        assert grid.node_bucket is not None
+        campos = jnp.asarray([0.0, 0.0, -3.0])
+        rng = np.random.default_rng(2)
+        targets = xyz[rng.integers(0, len(xyz), 16)]
+        dirs = targets - np.asarray(campos)
+        dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+        res = Q.query_points(grid, jnp.asarray(xyz), campos,
+                             jnp.asarray(dirs, jnp.float32), cfg,
+                             near=1.0, far=6.0)
+        pidx = np.asarray(res.sample_pidx)
+        loc = np.asarray(res.sample_loc_w)
+        smask = np.asarray(res.sample_mask)
+        pmask = np.asarray(res.pnt_mask)
+        origin = np.asarray(grid.geom.origin)
+        vs = np.asarray(grid.geom.vsize)
+        vox_p = np.floor((xyz - origin) / vs).astype(np.int64)
+        checked = 0
+        for r in range(pidx.shape[0]):
+            for s in range(pidx.shape[1]):
+                if not smask[r, s]:
+                    continue
+                cv = np.floor((loc[r, s] - origin) / vs).astype(np.int64)
+                inside = (np.abs(vox_p - cv) <= 1).all(axis=-1)
+                cand = np.where(inside)[0]
+                if len(cand) == 0:
+                    assert not pmask[r, s].any()
+                    continue
+                dist = np.linalg.norm(xyz[cand] - loc[r, s], axis=-1)
+                k = min(cfg.K, len(cand))
+                got = pidx[r, s][pmask[r, s]]
+                assert len(got) == k
+                np.testing.assert_allclose(
+                    np.sort(np.linalg.norm(xyz[got] - loc[r, s], axis=-1)),
+                    np.sort(dist)[:k], rtol=1e-5)
+                checked += 1
+        assert checked > 20
+
+    def test_supervoxel_node_tables_consistent(self):
+        """Each point's own voxel has a node whose bucket contains the point,
+        and the node bucket holds exactly the window's points (small scene)."""
+        cfg = small_cfg(supervoxel=True)
+        xyz = make_cloud(300, 3)
+        mask = np.ones(len(xyz), bool)
+        geom = VG.compute_grid_geometry(xyz, mask, cfg)
+        grid = VG.build_grid(jnp.asarray(xyz), jnp.asarray(mask), geom, cfg)
+        coor2node = np.asarray(grid.coor2node)
+        bucket = np.asarray(grid.node_bucket)
+        Ps = cfg.Ps
+        pid_tab = bucket[:, 3 * Ps:4 * Ps].view(np.int32)
+        d = np.asarray(geom.dims)
+        vox = np.floor((xyz - np.asarray(geom.origin)) /
+                       np.asarray(geom.vsize)).astype(np.int64)
+        lin = (vox[:, 0] * d[1] + vox[:, 1]) * d[2] + vox[:, 2]
+        for pid in range(0, len(xyz), 29):
+            node = coor2node[lin[pid]]
+            assert node >= 0
+            row = pid_tab[node]
+            assert pid in row[row >= 0]
+            # bucket contents == brute-force window membership
+            expect = set(np.where(
+                (np.abs(vox - vox[pid]) <= 1).all(axis=-1))[0].tolist())
+            got = set(int(p) for p in row[row >= 0])
+            assert expect == got
 
     def test_miss_rays_masked(self):
         cfg = small_cfg()

@@ -13,7 +13,8 @@ def cfg_pers():
         vsize=(0.01, 0.01, 0.05), vscale=(2, 2, 2), kernel_size=(3, 3, 3),
         query_size=(3, 3, 3), z_depth_dim=64, SR=8, K=4, P=16, max_o=8192,
         ranges=(-9.0,) * 3 + (9.0,) * 3, grid_capacity=2_000_000,
-        radius_limit_scale=0.0, sample_jitter=0.0)
+        radius_limit_scale=0.0, sample_jitter=0.0,
+        Ps=32, max_nodes=60_000)
 
 
 def setup(n=600, seed=0):

@@ -71,6 +71,67 @@ class TestTrainStep:
                    if hasattr(l, "dtype") and l.dtype.kind == "f")
 
 
+class TestPyramidCache:
+    def test_cached_step_matches_uncached_loss(self):
+        """img_feat_staged (fp32 cache) reproduces the uncached forward."""
+        cfg, ts, grid, batch, kernels = setup()
+        pts_tree = state_mod.point_param_tree(ts.points, cfg)
+        key = jax.random.PRNGKey(3)
+        total_ref, _ = step_mod.loss_fn(
+            ts.params, pts_tree, ts.points, grid, batch, cfg, key, kernels)
+        stages = renderer.compute_image_feature_stages(
+            ts.params, cfg, batch["images_nearest"])
+        staged = (batch["images_nearest"], stages)
+        total_cached, _ = step_mod.loss_fn(
+            ts.params, pts_tree, ts.points, grid, batch, cfg, key, kernels,
+            None, staged)
+        np.testing.assert_allclose(float(total_cached), float(total_ref),
+                                   rtol=2e-5, atol=2e-6)
+
+    def test_cached_step_freezes_pyramid(self):
+        """Cached steps leave the CNN without gradient (moments stay zero on
+        the first step); uncached steps train it."""
+        cfg, ts, grid, batch, kernels = setup()
+        stages = renderer.compute_image_feature_stages(
+            ts.params, cfg, batch["images_nearest"])
+        staged = (jnp.asarray(batch["images_nearest"]),
+                  tuple(s.astype(jnp.bfloat16) for s in stages))
+        pyr0 = jax.tree_util.tree_map(np.array,
+                                      ts.params["aggregator"]["pyramid"])
+        ts2, items = step_mod.train_step(ts, grid, batch,
+                                         jax.random.PRNGKey(0), kernels, cfg,
+                                         staged)
+        assert np.isfinite(float(items["loss_total"]))
+        for k, leaf in ts2.params["aggregator"]["pyramid"].items():
+            np.testing.assert_array_equal(np.asarray(leaf["w"]), pyr0[k]["w"])
+
+    def test_pyramid_cache_hits(self):
+        from hybridneuralrendering_tpu.train.pyramid_cache import PyramidCache
+        cfg, ts, grid, batch, _ = setup()
+        cache = PyramidCache(cfg, dtype=jnp.float32)
+        vids = [7, 9]
+        s_a = cache.get_stack(ts.params, batch["images_nearest"], vids)
+        assert cache.misses == 2 and cache.hits == 0
+        s_b = cache.get_stack(ts.params, batch["images_nearest"], vids)
+        assert cache.hits == 2
+        for a, b in zip(s_a, s_b):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        cache.invalidate()
+        assert len(cache) == 0
+
+    def test_multi_frame_cached(self):
+        cfg, ts, grid, batch, kernels = setup()
+        b = {k: v for k, v in batch.items()}
+        batches = step_mod.stack_batches([b, b])
+        stages = renderer.compute_image_feature_stages(
+            ts.params, cfg, batch["images_nearest"])
+        staged = (jnp.stack([batch["images_nearest"]] * 2),
+                  tuple(jnp.stack([s] * 2) for s in stages))
+        ts2, items = step_mod.train_step_multi(
+            ts, grid, batches, jax.random.PRNGKey(0), kernels, cfg, staged)
+        assert np.isfinite(float(items["loss_total"]))
+
+
 class TestMultiChip:
     def test_dryrun_8_devices(self):
         import sys
