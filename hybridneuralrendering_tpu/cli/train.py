@@ -33,6 +33,13 @@ def build_argparser():
                    help="0: feed-forward MVS, 1: ply mesh, 2: sensor depth")
     p.add_argument("--vox-res", type=int, default=900,
                    help="voxel-downsample resolution for init points")
+    p.add_argument("--mvs-ckpt", default=None,
+                   help="pretrained MVSNet torch checkpoint "
+                        "(checkpoints/MVSNet/model_000014.ckpt) for mode 0")
+    p.add_argument("--max-groups", type=int, default=0,
+                   help="cap on MVS view triplets in mode 0 (0 = all)")
+    p.add_argument("--mvs-conf-thresh", type=float, default=0.8)
+    p.add_argument("--mvs-num-depths", type=int, default=96)
     p.add_argument("--test-freq", type=int, default=10_000)
     p.add_argument("--save-freq", type=int, default=10_000)
     p.add_argument("--print-freq", type=int, default=40)
@@ -49,25 +56,70 @@ def build_argparser():
     return p
 
 
-def bootstrap_points(args, dataset, cfg):
-    """Initial point cloud (run/train_ft.py:679-778)."""
+def bootstrap_points(args, dataset, cfg, key=None):
+    """Initial point cloud (run/train_ft.py:679-778).
+
+    Returns (xyz [M, 3], attrs dict or None).  Mode 0 is the feed-forward MVS
+    bootstrap (gen_points_filter_embeddings, run/train_ft.py:60-197): MVSNet
+    depth per view triplet (pretrained weights via --mvs-ckpt), cross-group
+    geometric filtering, optional alpha-matte visual hull, voxel downsample,
+    and per-point embedding/color/dir/conf from query_embedding."""
     from hybridneuralrendering_tpu.data.point_init import (
         voxel_downsample_closest)
+    attrs = None
     if args.load_points == 1:
         xyz = dataset.load_init_points()
     elif args.load_points == 2:
         xyz = dataset.load_init_depth_points()
     else:
-        raise NotImplementedError(
-            "feed-forward MVS bootstrap requires mvs weights; use "
-            "--load-points 1|2")
+        import jax
+
+        from hybridneuralrendering_tpu.mvs import point_gen
+        from hybridneuralrendering_tpu.train import bootstrap as bs
+        key = key if key is not None else jax.random.PRNGKey(args.seed)
+        mvs_params = point_gen.init(key, cfg.points.feature_dim)
+        if args.mvs_ckpt:
+            from hybridneuralrendering_tpu.io import torch_import as TI
+            sd = TI.load_torch_state_dict(args.mvs_ckpt)
+            mvs_params = mvs_params._replace(mvsnet=TI.import_mvsnet(sd))
+        groups = bs.groups_from_dataset(dataset, max_groups=args.max_groups)
+        is_scannet = hasattr(dataset, "train_id_list")
+
+        def img_of(i):
+            if is_scannet:
+                return dataset.image(dataset.train_id_list[i])
+            return dataset.train_image(int(i))
+
+        def c2w_of(i):
+            if is_scannet:
+                return dataset._pose(dataset.train_id_list[i])
+            return dataset.c2w(int(i), dataset.train_meta)
+
+        images_by_group, w2cs_by_group = [], []
+        for g in groups:
+            images_by_group.append(np.stack([img_of(i) for i in g]))
+            w2cs_by_group.append(np.stack(
+                [np.linalg.inv(c2w_of(i)) for i in g]).astype(np.float32))
+        alphas = alpha_w2cs = None
+        if hasattr(dataset, "train_alpha"):
+            vids = sorted({int(i) for g in groups for i in g})
+            alphas = np.stack([dataset.train_alpha(i) for i in vids])
+            alpha_w2cs = np.stack(
+                [np.linalg.inv(c2w_of(i)) for i in vids]).astype(np.float32)
+        xyz, attrs = bs.bootstrap_from_groups(
+            mvs_params, images_by_group, dataset.intrinsic, w2cs_by_group,
+            cfg.render.near_plane, cfg.render.far_plane, cfg,
+            conf_thresh=args.mvs_conf_thresh, vox_res=args.vox_res,
+            num_depths=args.mvs_num_depths,
+            alphas=alphas, alpha_w2cs=alpha_w2cs)
+        return xyz, attrs
     if args.vox_res > 0:
         xyz, _ = voxel_downsample_closest(xyz, args.vox_res)
     if len(xyz) > cfg.points.num_points:
         keep = np.random.default_rng(args.seed).choice(
             len(xyz), cfg.points.num_points, replace=False)
         xyz = xyz[keep]
-    return xyz
+    return xyz, attrs
 
 
 def evaluate(params, points, grid, test_ds, cfg, vis, step, num_frames):
@@ -138,9 +190,17 @@ def main(argv=None):
     key = jax.random.PRNGKey(args.seed)
 
     vis.log(f"bootstrapping points (mode {args.load_points})...")
-    xyz = bootstrap_points(args, train_ds, cfg)
+    xyz, attrs = bootstrap_points(args, train_ds, cfg, key)
     vis.log(f"init cloud: {len(xyz)} points")
-    points = npts.init_from_arrays(xyz, cfg.points, key=key)
+    if attrs is not None and len(xyz) > cfg.points.num_points:
+        keep = rng.choice(len(xyz), cfg.points.num_points, replace=False)
+        xyz = xyz[keep]
+        attrs = {k: v[keep] for k, v in attrs.items()}
+    points = npts.init_from_arrays(
+        xyz, cfg.points, key=key,
+        **({} if attrs is None else dict(
+            embedding=attrs["embedding"], conf=attrs["conf"],
+            color=attrs["color"], dirs=attrs["dirs"])))
     geom = VG.compute_grid_geometry(xyz, np.ones(len(xyz), bool), cfg.querier)
     grid = VG.build_grid_jit(points.xyz, points.mask, geom, cfg.querier)
     if grid.num_nodes is not None and \

@@ -101,6 +101,17 @@ class NerfSynthScene:
     def train_image(self, idx: int) -> np.ndarray:
         return self._load(idx, self.train_meta, self._train_img_cache)
 
+    def train_alpha(self, idx: int) -> np.ndarray:
+        """[H, W] alpha matte of a training view (feeds the alpha_masking
+        visual hull in the feed-forward bootstrap, run/train_ft.py:152-159)."""
+        from PIL import Image
+        p = os.path.join(self.root,
+                         self.train_meta["frames"][idx]["file_path"] + ".png")
+        img = Image.open(p).resize((self.width, self.height), Image.LANCZOS)
+        arr = np.asarray(img, np.float32) / 255.0
+        return arr[..., 3] if arr.shape[-1] == 4 else np.ones(
+            arr.shape[:2], np.float32)
+
     def load_init_points(self) -> np.ndarray:
         """COLMAP fused.ply cloud (nerf_synth360_ft_dataset.py:458-475)."""
         for name in ("colmap_results/dense/fused.ply", "fused.ply"):

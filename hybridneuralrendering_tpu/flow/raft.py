@@ -56,11 +56,20 @@ def instance_norm(x, eps=1e-5):
     return (x - mean) * jax.lax.rsqrt(var + eps)
 
 
-def _norm(x, kind):
-    # affine params are constant-initialized (scale 1, bias 0) in the
-    # reference (extractor.py:150-157); instance/none need no state
-    if kind == "instance" or kind == "batch":
-        return instance_norm(x)
+def bn_init(ch):
+    return {"scale": jnp.ones(ch), "bias": jnp.zeros(ch),
+            "mean": jnp.zeros(ch), "var": jnp.ones(ch)}
+
+
+def _norm(x, kind, bn=None, eps=1e-5):
+    """instance: stateless InstanceNorm2d(affine=False) as in the reference's
+    fnet (extractor.py:28-32); batch: BatchNorm2d with running stats +
+    affine, as in the cnet — required to honor imported torch weights."""
+    if kind == "instance":
+        return instance_norm(x, eps)
+    if kind == "batch":
+        inv = jax.lax.rsqrt(bn["var"] + eps)
+        return (x - bn["mean"]) * inv * bn["scale"] + bn["bias"]
     return x
 
 
@@ -68,39 +77,47 @@ def _norm(x, kind):
 # BasicEncoder (extractor.py:118-190)
 # ---------------------------------------------------------------------------
 
-def _res_block_init(key, cin, cout):
+def _res_block_init(key, cin, cout, norm):
     k1, k2, k3 = jax.random.split(key, 3)
     p = {"c1": conv_init(k1, cin, cout, 3), "c2": conv_init(k2, cout, cout, 3)}
     if cin != cout:
         p["down"] = conv_init(k3, cin, cout, 1)
+    if norm == "batch":
+        p["bn1"] = bn_init(cout)
+        p["bn2"] = bn_init(cout)
+        if cin != cout:
+            p["bn3"] = bn_init(cout)
     return p
 
 
 def _res_block(p, x, norm, stride=1):
-    y = jax.nn.relu(_norm(conv(p["c1"], x, stride), norm))
-    y = jax.nn.relu(_norm(conv(p["c2"], y), norm))
+    y = jax.nn.relu(_norm(conv(p["c1"], x, stride), norm, p.get("bn1")))
+    y = jax.nn.relu(_norm(conv(p["c2"], y), norm, p.get("bn2")))
     if "down" in p:
-        x = _norm(conv(p["down"], x, stride), norm)
+        x = _norm(conv(p["down"], x, stride), norm, p.get("bn3"))
     return jax.nn.relu(x + y)
 
 
-def encoder_init(key, output_dim=256):
+def encoder_init(key, output_dim=256, norm="instance"):
     ks = jax.random.split(key, 8)
-    return {
+    p = {
         "conv1": conv_init(ks[0], 3, 64, 7),
-        "l1a": _res_block_init(ks[1], 64, 64),
-        "l1b": _res_block_init(ks[2], 64, 64),
-        "l2a": _res_block_init(ks[3], 64, 96),
-        "l2b": _res_block_init(ks[4], 96, 96),
-        "l3a": _res_block_init(ks[5], 96, 128),
-        "l3b": _res_block_init(ks[6], 128, 128),
+        "l1a": _res_block_init(ks[1], 64, 64, norm),
+        "l1b": _res_block_init(ks[2], 64, 64, norm),
+        "l2a": _res_block_init(ks[3], 64, 96, norm),
+        "l2b": _res_block_init(ks[4], 96, 96, norm),
+        "l3a": _res_block_init(ks[5], 96, 128, norm),
+        "l3b": _res_block_init(ks[6], 128, 128, norm),
         "conv2": conv_init(ks[7], 128, output_dim, 1),
     }
+    if norm == "batch":
+        p["bn0"] = bn_init(64)
+    return p
 
 
 def encoder_apply(p, x, norm="instance"):
     """x: [B, H, W, 3] -> [B, H/8, W/8, output_dim]."""
-    y = jax.nn.relu(_norm(conv(p["conv1"], x, 2), norm))
+    y = jax.nn.relu(_norm(conv(p["conv1"], x, 2), norm, p.get("bn0")))
     y = _res_block(p["l1b"], _res_block(p["l1a"], y, norm, 1), norm)
     y = _res_block(p["l2b"], _res_block(p["l2a"], y, norm, 2), norm)
     y = _res_block(p["l3b"], _res_block(p["l3a"], y, norm, 2), norm)
@@ -160,7 +177,10 @@ def corr_lookup(pyr: List[jnp.ndarray], coords: jnp.ndarray,
     r = radius
     d = jnp.arange(-r, r + 1, dtype=coords.dtype)
     dyx = jnp.stack(jnp.meshgrid(d, d, indexing="ij"), axis=-1)  # [2r+1,2r+1,2]
-    delta = jnp.stack([dyx[..., 1], dyx[..., 0]], axis=-1).reshape(-1, 2)
+    # torch corr.py stacks meshgrid(dy, dx) and adds it to (x, y) directly,
+    # so window channel (i, j) offsets x by d_i and y by d_j — keep that
+    # exact channel order or imported motion-encoder weights mis-map
+    delta = dyx.reshape(-1, 2)
     out = []
     for i, vol in enumerate(pyr):
         c = coords.reshape(H * W, 1, 2) / (2 ** i) + delta[None]
@@ -244,8 +264,8 @@ class RaftParams(NamedTuple):
 
 def init(key) -> RaftParams:
     k1, k2, k3 = jax.random.split(key, 3)
-    return RaftParams(fnet=encoder_init(k1, 256),
-                      cnet=encoder_init(k2, HDIM + CDIM),
+    return RaftParams(fnet=encoder_init(k1, 256, "instance"),
+                      cnet=encoder_init(k2, HDIM + CDIM, "batch"),
                       update=update_init(k3))
 
 

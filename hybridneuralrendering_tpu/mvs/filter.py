@@ -68,7 +68,8 @@ def filter_depths(depths: jnp.ndarray, intrinsics: jnp.ndarray,
 
     depths: [V, H, W]; intrinsics: [V, 3, 3]; extrinsics: [V, 4, 4] (w2c);
     confidences: [V, H, W].  Returns (final_mask [V, H, W],
-    depth_avg [V, H, W]) — averaged over the views that matched."""
+    depth_avg [V, H, W], geo_sum [V, H, W]) — depth averaged over the views
+    that matched, geo_sum = per-pixel match count (feeds reassign_conf)."""
     V = depths.shape[0]
 
     def per_ref(ref):
@@ -90,10 +91,10 @@ def filter_depths(depths: jnp.ndarray, intrinsics: jnp.ndarray,
         final = (confidences[ref] > conf_thresh) & geo_mask
         if V <= 1:
             final = confidences[ref] > conf_thresh
-        return final, depth_avg
+        return final, depth_avg, geo_sum
 
-    masks, depth_avgs = jax.vmap(per_ref)(jnp.arange(V))
-    return masks, depth_avgs
+    masks, depth_avgs, geo_sums = jax.vmap(per_ref)(jnp.arange(V))
+    return masks, depth_avgs, geo_sums
 
 
 def reassign_conf(conf: jnp.ndarray, geo_mask_sum: jnp.ndarray,

@@ -97,6 +97,17 @@ def query_embedding(params: MvsPointsParams, cam_xyz: jnp.ndarray,
     return embedding, colors, dirs, conf
 
 
+def gen_depth(params: MvsPointsParams, images: jnp.ndarray,
+              intrinsic: jnp.ndarray, w2cs: jnp.ndarray,
+              near: float, far: float, num_depths: int = 192):
+    """MVSNet depth + confidence maps for the group's reference view at 1/4
+    resolution.  Returns (depth [h, w], conf [h, w], k_quarter [3, 3])."""
+    depth_values = jnp.linspace(near, far, num_depths)
+    depth, conf = mvsnet.depth_from_views(
+        params.mvsnet, images, intrinsic, w2cs, depth_values)
+    return depth, conf, intrinsic.at[:2].multiply(0.25)
+
+
 def gen_points(params: MvsPointsParams, images: jnp.ndarray,
                intrinsic: jnp.ndarray, w2cs: jnp.ndarray,
                near: float, far: float, num_depths: int = 192,
@@ -113,10 +124,8 @@ def gen_points(params: MvsPointsParams, images: jnp.ndarray,
         conf = jnp.ones_like(depth)
         k = intrinsic
     else:
-        depth_values = jnp.linspace(near, far, num_depths)
-        depth, conf = mvsnet.depth_from_views(
-            params.mvsnet, images, intrinsic, w2cs, depth_values)
-        k = intrinsic.at[:2].multiply(0.25)
+        depth, conf, k = gen_depth(params, images, intrinsic, w2cs, near,
+                                   far, num_depths)
     cam_xyz = mvsnet.depth_to_cam_xyz(depth, k)
     mask = (depth.reshape(-1) > 0) & (conf.reshape(-1) > conf_thresh)
     return cam_xyz, conf.reshape(-1), mask

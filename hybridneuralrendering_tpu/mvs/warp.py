@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from typing import Tuple
 
+import jax
 import jax.numpy as jnp
 
 
@@ -76,6 +77,13 @@ def plane_sweep_warp(src_feat: jnp.ndarray, proj_mat: jnp.ndarray,
     pos = rot[None] * depth_values[:, None, None, None] + T  # [D, H, W, 3]
     xy = pos[..., :2] / pos[..., 2:3]
     valid = pos[..., 2] > 1e-3
+    # torch-exact sampling position: module.py:62-66 normalizes as if
+    # align_corners=True (x / ((W-1)/2) - 1) but grid_sample defaults to
+    # align_corners=False, so the effective tap is x*W/(W-1) - 0.5 per axis —
+    # replicate the released checkpoint's behavior bit-for-bit
+    scale = jnp.asarray([W / max(W - 1, 1), H / max(H - 1, 1)],
+                        src_feat.dtype)
+    xy = xy * scale - 0.5
     out = bilinear_sample(src_feat, xy.reshape(-1, 2)).reshape(D, H, W, C)
     return out * valid[..., None]
 
@@ -96,5 +104,79 @@ def photometric_confidence(prob: jnp.ndarray, depth_index: jnp.ndarray
     # average-pool prob along depth with window 4 (like avg_pool3d(4,1,1)*4)
     pad = jnp.pad(prob, ((1, 2), (0, 0), (0, 0)))
     summed = pad[:-3] + pad[1:-2] + pad[2:-1] + pad[3:]      # [D, H, W]
-    idx = jnp.clip(jnp.round(depth_index).astype(jnp.int32), 0, D - 1)
+    # torch truncates the expected bin index (`.long()`, mvsnet.py:133)
+    idx = jnp.clip(depth_index.astype(jnp.int32), 0, D - 1)
     return jnp.take_along_axis(summed, idx[None], axis=0)[0]
+
+
+def occlusion_mask(ref_cam_xyz: jnp.ndarray, rel_c2w: jnp.ndarray,
+                   src_w2c: jnp.ndarray, intrinsic: jnp.ndarray,
+                   H: int, W: int, tolerate: float = 0.1) -> jnp.ndarray:
+    """Z-buffer visibility of ref-camera points in a src view
+    (homo_warp_nongrid_occ, mvs_utils.py:333-370).
+
+    Points project into the src image; per (ceil-x, ceil-y) pixel bucket the
+    minimum camera depth wins (the reference's scatter_min); a point survives
+    if its depth is within `tolerate` of its bucket minimum AND it lands
+    in-bounds.  Fixed shapes: returns a [N] bool mask instead of compacting.
+    """
+    ones = jnp.ones_like(ref_cam_xyz[..., :1])
+    if src_w2c is not None:
+        src_cam = (jnp.concatenate([ref_cam_xyz, ones], -1)
+                   @ rel_c2w.T @ src_w2c.T)[..., :3]
+    else:
+        src_cam = ref_cam_xyz
+    xy = (src_cam / src_cam[..., 2:3]) @ intrinsic.T
+    xy = xy[..., :2]
+    inb = ((xy[..., 0] >= 0) & (jnp.ceil(xy[..., 0]) <= W - 1)
+           & (xy[..., 1] >= 0) & (jnp.ceil(xy[..., 1]) <= H - 1)
+           & (src_cam[..., 2] > 0))
+    # the reference buckets by index = ceil(x)*HD + ceil(y)
+    hx = jnp.ceil(xy[..., 0]).astype(jnp.int32)
+    hy = jnp.ceil(xy[..., 1]).astype(jnp.int32)
+    idx = jnp.where(inb, hx * H + hy, W * H)
+    z = jnp.where(inb, src_cam[..., 2], jnp.inf)
+    zmin = jnp.full((W * H + 1,), jnp.inf, z.dtype).at[idx].min(z)
+    return inb & (src_cam[..., 2] <= zmin[idx] + tolerate)
+
+
+def alpha_masking(xyz_w: jnp.ndarray, alphas: jnp.ndarray,
+                  intrinsics: jnp.ndarray, c2ws: jnp.ndarray,
+                  w2cs: jnp.ndarray, near_far=None,
+                  alpha_range: bool = False) -> jnp.ndarray:
+    """Visual-hull filter from per-view alpha mattes
+    (mvs_utils.alpha_masking, :573-606): a point survives only if every view
+    sees alpha > 0.1 at its projection (out-of-range projections count as
+    pass when alpha_range, matching opt.alpha_range/inall_img).
+
+    xyz_w: [N, 3]; alphas: [V, H, W]; intrinsics: [V, 3, 3] or [3, 3];
+    c2ws/w2cs: [V, 4, 4]; near_far: optional (near, far) z clip.
+    Returns [N] bool."""
+    V, H, W = alphas.shape
+    ones = jnp.ones_like(xyz_w[..., :1])
+    xyz1 = jnp.concatenate([xyz_w, ones], axis=-1)
+    if intrinsics.ndim == 2:
+        intrinsics = jnp.broadcast_to(intrinsics, (V, 3, 3))
+
+    def per_view(alpha, k, w2c):
+        cam = xyz1 @ w2c.T
+        pix = cam[..., :3] @ k.T
+        img_xy = jnp.floor(pix[:, :2] / pix[:, -1:]).astype(jnp.int32)
+        m = jnp.ones(xyz_w.shape[0], bool)
+        rng_m = None
+        if alpha_range:
+            rng_m = ((img_xy[:, 0] >= 0) & (img_xy[:, 0] < W)
+                     & (img_xy[:, 1] >= 0) & (img_xy[:, 1] < H))
+        xc = jnp.clip(img_xy[:, 0], 0, W - 1)
+        yc = jnp.clip(img_xy[:, 1], 0, H - 1)
+        a = alpha[yc, xc]
+        if rng_m is not None:
+            a = a + (~rng_m).astype(a.dtype)
+        m = a > 0.1
+        if near_far is not None:
+            m = m & (cam[..., 2] >= near_far[0] - 1.0) \
+                  & (cam[..., 2] <= near_far[1])
+        return m
+
+    masks = jax.vmap(per_view)(alphas, intrinsics, w2cs)
+    return jnp.all(masks, axis=0)

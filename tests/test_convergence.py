@@ -34,7 +34,8 @@ def make_cfg():
         querier=C.QuerierConfig(
             vsize=(0.04, 0.04, 0.04), vscale=(2, 2, 2), SR=6, K=4, P=8,
             max_o=30000, z_depth_dim=48, grid_capacity=800_000,
-            ranges=(-3.0, -3.0, -3.0, 3.0, 3.0, 3.0)),
+            ranges=(-3.0, -3.0, -3.0, 3.0, 3.0, 3.0),
+            Ps=32, max_nodes=150_000),
         points=C.PointsConfig(num_points=4000, feature_dim=16),
         agg=C.AggregatorConfig(point_features_dim=16, shading_feature_num=128,
                                use_nearest=0, drop_ratio=0.0,

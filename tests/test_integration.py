@@ -53,7 +53,8 @@ def small_cfg():
         querier=C.QuerierConfig(
             vsize=(0.05, 0.05, 0.05), vscale=(2, 2, 2), SR=6, K=4, P=8,
             max_o=20000, z_depth_dim=48, grid_capacity=600_000,
-            ranges=(-4.0, -4.0, -4.0, 4.0, 4.0, 4.0)),
+            ranges=(-4.0, -4.0, -4.0, 4.0, 4.0, 4.0),
+            Ps=32, max_nodes=120_000),
         points=C.PointsConfig(num_points=5000, feature_dim=8),
         agg=C.AggregatorConfig(point_features_dim=8, shading_feature_num=128,
                                use_nearest=2, num_feat_freqs=2,
@@ -224,6 +225,96 @@ class TestNerfSynthPipeline:
             # +z column looks toward the origin (OpenCV convention)
             fwd = p[:3, 2]
             assert float(fwd @ (-p[:3, 3] / 3.0)) > 0.5
+
+
+class TestFeedForwardBootstrap:
+    def test_mode0_with_imported_weights(self, fake_blender, tmp_path):
+        """Feed-forward MVS bootstrap end-to-end (run/train_ft.py:60-197):
+        pretrained-format MVSNet checkpoint -> import -> depth -> cross-group
+        filter -> alpha visual hull -> voxel downsample -> embeddings."""
+        torch = pytest.importorskip("torch")
+        import sys
+        if "/root/reference" not in sys.path:
+            sys.path.insert(0, "/root/reference")
+        try:
+            from models.depth_estimators.mvsnet import MVSNet as TorchMVSNet
+        except Exception:
+            pytest.skip("reference MVSNet unavailable")
+        net = TorchMVSNet(refine=False).eval()
+        ckpt = tmp_path / "model_000014.ckpt"
+        torch.save({"model": {"module." + k: v
+                              for k, v in net.state_dict().items()}}, ckpt)
+
+        from argparse import Namespace
+
+        from hybridneuralrendering_tpu.cli.train import bootstrap_points
+        from hybridneuralrendering_tpu.data.nerf_synth import NerfSynthScene
+        root, scan = fake_blender
+        cfg = nerf_cfg()
+        ds = NerfSynthScene(root, scan, cfg, "train")
+        args = Namespace(load_points=0, vox_res=100, seed=0,
+                         mvs_ckpt=str(ckpt), max_groups=2,
+                         mvs_conf_thresh=0.0, mvs_num_depths=16)
+        xyz, attrs = bootstrap_points(args, ds, cfg,
+                                      key=jax.random.PRNGKey(0))
+        assert len(xyz) > 0
+        assert np.isfinite(xyz).all()
+        F = cfg.points.feature_dim
+        assert attrs["embedding"].shape == (len(xyz), F)
+        assert attrs["color"].shape == (len(xyz), 3)
+        assert attrs["dirs"].shape == (len(xyz), 3)
+        assert attrs["conf"].shape == (len(xyz), 1)
+        assert np.isfinite(attrs["embedding"]).all()
+        # visual hull: surviving points project inside the object's alpha
+        # matte for every view it was checked against -> points cluster near
+        # the origin (the fake object is centered)
+        assert np.linalg.norm(xyz, axis=-1).mean() < 3.0
+
+
+class TestFrameWeightsTool:
+    def test_cli_writes_npy_with_raft(self, fake_scannet, tmp_path):
+        """cli/frame_weights end-to-end: fixture scene + imported RAFT
+        weights -> <scene>_frame_weight_step5.npy the loader consumes."""
+        torch = pytest.importorskip("torch")
+        import sys
+        for p in ("/root/reference", "/root/reference/raft/core"):
+            if p not in sys.path:
+                sys.path.insert(0, p)
+        try:
+            from argparse import Namespace as NS
+
+            from raft import RAFT as TorchRAFT
+        except Exception:
+            pytest.skip("vendored RAFT unavailable")
+        net = TorchRAFT(NS(small=False, dropout=0.0, alternate_corr=False,
+                           mixed_precision=False)).eval()
+        ckpt = tmp_path / "raft-things.pth"
+        torch.save({"module." + k: v for k, v in net.state_dict().items()},
+                   ckpt)
+
+        from hybridneuralrendering_tpu.cli import frame_weights as FWC
+        root, scan = fake_scannet
+        out = tmp_path / "out"
+        FWC.main(["--data-root", root, "--scan", scan,
+                  "--out", str(out), "--raft-ckpt", str(ckpt),
+                  "--iters", "2", "--window", "2", "--window-step", "1"])
+        w = np.load(out / "frame_weights_step5" /
+                    f"{scan}_frame_weight_step5.npy")
+        assert w.ndim == 1 and len(w) == 3      # 3 training frames
+        assert np.isfinite(w).all() and (w > 0).all()
+
+        # the loader consumes the produced file (copied under its data root)
+        import shutil
+
+        from hybridneuralrendering_tpu.data.scannet import ScannetScene
+        cfg = small_cfg()
+        shutil.copytree(out / "frame_weights_step5",
+                        os.path.join(root, "frame_weights_step5"),
+                        dirs_exist_ok=True)
+        ds = ScannetScene(root, scan, cfg, "train")
+        assert len(ds.train_weight_list) == 3
+        np.testing.assert_allclose(np.asarray(ds.train_weight_list), w,
+                                   rtol=1e-6)
 
 
 class TestLifecycle:

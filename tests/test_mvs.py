@@ -53,11 +53,36 @@ class TestWarp:
         # src_proj @ ref_proj_inv = I -> proj_mat = [I|0]
         ident = jnp.concatenate([jnp.eye(3), jnp.zeros((3, 1))], axis=1)
         out = W.plane_sweep_warp(feat, ident, jnp.asarray([1.0, 2.0]))
-        # pos = grid * d -> xy = grid[:2]/1 = pixel coords -> exact sample
-        np.testing.assert_allclose(np.asarray(out[0]), np.asarray(feat),
-                                   rtol=1e-5)
-        np.testing.assert_allclose(np.asarray(out[1]), np.asarray(feat),
-                                   rtol=1e-5)
+        # torch-exact sampling (module.py grid normalization under
+        # align_corners=False) taps at x*W/(W-1) - 0.5, not the raw pixel —
+        # reproduce that expectation with a numpy bilinear interpolation
+        H, Wd, C = feat.shape
+        f = np.asarray(feat)
+
+        def expect():
+            ys, xs = np.mgrid[0:H, 0:Wd].astype(np.float64)
+            sx = xs * Wd / (Wd - 1) - 0.5
+            sy = ys * H / (H - 1) - 0.5
+            x0 = np.floor(sx).astype(int)
+            y0 = np.floor(sy).astype(int)
+            wx = (sx - x0)[..., None]
+            wy = (sy - y0)[..., None]
+
+            def tap(yy, xx):
+                ok = ((xx >= 0) & (xx < Wd) & (yy >= 0) & (yy < H))
+                return f[np.clip(yy, 0, H - 1), np.clip(xx, 0, Wd - 1)] \
+                    * ok[..., None]
+
+            return (tap(y0, x0) * (1 - wx) * (1 - wy)
+                    + tap(y0, x0 + 1) * wx * (1 - wy)
+                    + tap(y0 + 1, x0) * (1 - wx) * wy
+                    + tap(y0 + 1, x0 + 1) * wx * wy)
+
+        e = expect()
+        np.testing.assert_allclose(np.asarray(out[0]), e, rtol=1e-4,
+                                   atol=1e-5)
+        np.testing.assert_allclose(np.asarray(out[1]), e, rtol=1e-4,
+                                   atol=1e-5)
 
     def test_depth_regression(self):
         prob = jnp.zeros((5, 2, 2)).at[3].set(1.0)
@@ -158,10 +183,13 @@ class TestGeometricFilter:
         e = jnp.stack([jnp.eye(4)] * V)
         depths = jnp.full((V, H, Wd), 2.0)
         conf = jnp.full((V, H, Wd), 0.9)
-        mask, avg = GF.filter_depths(depths, k, e, conf, conf_thresh=0.8,
-                                     geo_cnsst_num=2)
+        mask, avg, geo_sum = GF.filter_depths(depths, k, e, conf,
+                                              conf_thresh=0.8,
+                                              geo_cnsst_num=2)
         assert bool(np.asarray(mask).all())
         np.testing.assert_allclose(np.asarray(avg), 2.0, rtol=1e-4)
+        # identical cameras/depths: every other view matches every pixel
+        np.testing.assert_array_equal(np.asarray(geo_sum), V - 1)
 
 
 class TestBootstrap:
