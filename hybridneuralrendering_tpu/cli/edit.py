@@ -28,7 +28,31 @@ def build_argparser():
     p.add_argument("--transforms", nargs="+", default=None,
                    help="per-part SE(3) .txt files (4x4 row-major)")
     p.add_argument("--out-name", default="edited")
+    p.add_argument("--render-frames", type=int, default=24,
+                   help="frames of the merged-scene render (0 = skip)")
+    p.add_argument("--radius", type=float, default=3.0,
+                   help="orbit radius around the merged cloud's centroid")
+    p.add_argument("--phi", type=float, default=-25.0)
+    p.add_argument("--image-hw", type=int, nargs=2, default=None,
+                   help="render resolution (default: preset image_hw)")
+    p.add_argument("--fps", type=int, default=10)
     return p
+
+
+class OrbitBase:
+    """Minimal dataset stand-in for rendering the merged in-memory scene:
+    supplies intrinsics + background; poses come from the orbit path."""
+
+    def __init__(self, cfg, hw=None):
+        self.height, self.width = hw or cfg.image_hw
+        f = 0.8 * self.width
+        self.intrinsic = np.array(
+            [[f, 0, self.width / 2], [0, f, self.height / 2], [0, 0, 1]],
+            np.float32)
+        self.bg = np.asarray(cfg.render.bg_color, np.float32)
+
+    def get_batch(self, idx, rng=None, pixelcoords=None):
+        return {"bg_color": self.bg}
 
 
 def load_part(ckpt_dir: str, cfg, index_file=None, transform=None):
@@ -73,12 +97,19 @@ def load_part(ckpt_dir: str, cfg, index_file=None, transform=None):
 
 
 def merge_parts(parts: List[dict], cfg):
+    import dataclasses
+
     import jax.numpy as jnp
 
     from hybridneuralrendering_tpu.models import neural_points as npts
     cat = {k: np.concatenate([p[k] for p in parts]) for k in parts[0]}
+    pcfg = cfg.points
+    if len(cat["xyz"]) > pcfg.num_points:
+        # merged scenes may exceed a single scene's capacity
+        pcfg = dataclasses.replace(
+            pcfg, num_points=-(-len(cat["xyz"]) // 1024) * 1024)
     points = npts.init_from_arrays(
-        cat["xyz"], cfg.points, embedding=cat["embedding"], conf=cat["conf"],
+        cat["xyz"], pcfg, embedding=cat["embedding"], conf=cat["conf"],
         color=cat["color"], dirs=cat["dirs"])
     rw2c = np.tile(np.eye(3, dtype=np.float32)[None],
                    (points.capacity, 1, 1))
@@ -114,8 +145,28 @@ def main(argv=None):
     grid = VG.build_grid_jit(points.xyz, points.mask, geom, cfg.querier)
     vis.save_neural_points(np.asarray(points.xyz)[np.asarray(points.mask)],
                            0, np.asarray(points.color)[np.asarray(points.mask)])
-    vis.log(f"merged scene: {int(points.num_live)} points; use cli.render_vid "
-            "with this checkpoint layout to render the edited scene")
+    vis.log(f"merged scene: {int(points.num_live)} points")
+
+    if args.render_frames > 0:
+        # final render of the merged scene along an orbit around its centroid
+        # (run/editiing.py:50-110's chunked novel-view loop); the image-based
+        # branch is off — drop-regularized training makes the point branch
+        # self-sufficient, and parts carry no paired source views
+        from hybridneuralrendering_tpu.cli.render_vid import render_pose_path
+        from hybridneuralrendering_tpu.data.nerf_synth import pose_spherical
+        live = np.asarray(points.mask)
+        centroid = np.asarray(points.xyz)[live].mean(axis=0)
+        poses = []
+        for th in np.linspace(-180, 180, args.render_frames + 1)[:-1]:
+            c2w = pose_spherical(float(th), args.phi, args.radius)
+            flip = np.diag([1.0, -1.0, -1.0, 1.0]).astype(np.float32)
+            c2w = (c2w @ flip).astype(np.float32)     # OpenCV convention
+            c2w[:3, 3] += centroid
+            poses.append(c2w)
+        base = OrbitBase(cfg, tuple(args.image_hw) if args.image_hw else None)
+        out = render_pose_path(params, points, grid, base, poses, cfg, vis,
+                               tag="edited", fps=args.fps)
+        vis.log(f"edited-scene video written: {out}")
     return params, points, grid
 
 

@@ -339,16 +339,37 @@ def main(argv=None):
         if step % args.save_freq == 0:
             ckpt_mod.save_checkpoint(ckpt_dir, ts, best_psnr)
 
+        if (cfg.probe.prune_iter > 0 and step % cfg.probe.prune_iter == 0
+                and step <= cfg.probe.prune_max_iter and step < max_steps):
+            # conf-threshold prune (run/train_ft.py:868-872; no optimizer
+            # reset — the reference prunes in-place mid-run)
+            before = int(ts.points.num_live)
+            pts, grid = lifecycle.prune_and_rebuild(ts.points, cfg)
+            ts = ts._replace(points=pts)
+            vis.log(f"pruned {before - int(pts.num_live)} points at "
+                    f"step {step} (live: {int(pts.num_live)})")
+
         if prob_freq > 0 and step % prob_freq == 0 and step < max_steps:
-            vis.log(f"probe-and-grow at step {step}...")
-            new_points, new_grid, n_added = lifecycle.probe_and_grow(
-                ts.params, ts.points, grid, train_ds, cfg, tracker, rng=rng)
-            if n_added > 0:
-                ts = ts._replace(points=new_points)
-                ts = state_mod.reset_optimizers(ts, cfg)
-                grid = new_grid
-                vis.log(f"grew {n_added} points "
-                        f"(live: {int(ts.points.num_live)})")
+            # per-tier probe schedule (run/train_ft.py:878-903): tier from
+            # the step count; probing stops once past the last tier
+            tier = int(np.sum(np.asarray(cfg.probe.prob_tiers) < step))
+            n_tiers = len(cfg.probe.prob_kernel_size) // 3
+            top = tracker.top_ids()
+            gate = (len(top) > 0 or cfg.probe.prob_top != 1
+                    or cfg.probe.far_thresh > 0)
+            if tier < n_tiers and gate:
+                qs = tuple(cfg.probe.prob_kernel_size[tier * 3: tier * 3 + 3])
+                vis.log(f"probe-and-grow at step {step} "
+                        f"(tier {tier}, query_size {qs})...")
+                new_points, new_grid, n_added = lifecycle.probe_and_grow(
+                    ts.params, ts.points, grid, train_ds, cfg, tracker,
+                    rng=rng, query_size_override=qs)
+                if n_added > 0:
+                    ts = ts._replace(points=new_points)
+                    ts = state_mod.reset_optimizers(ts, cfg)
+                    grid = new_grid
+                    vis.log(f"grew {n_added} points "
+                            f"(live: {int(ts.points.num_live)})")
 
     ckpt_mod.save_checkpoint(ckpt_dir, ts, best_psnr)
     vis.log(f"done: {max_steps} steps, best PSNR {best_psnr:.3f}")

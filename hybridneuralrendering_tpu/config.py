@@ -295,6 +295,7 @@ class ProbeConfig:
     prob_top: int = 1
     prune_thresh: float = -1.0
     prune_iter: int = -1
+    prune_max_iter: int = 150_000
     far_thresh: float = -1.0
 
 
@@ -355,14 +356,41 @@ def scannet_hybrid(scan: str = "scene0241_01") -> Config:
     )
 
 
+def scannet_scene101(scan: str = "scene0101_04") -> Config:
+    """scene0101_04 full pipeline (scene101_full.sh): identical to
+    scene241_full except the larger point budget (max_o=2,000,000)."""
+    base = scannet_full(scan)
+    return base.replace(
+        querier=dataclasses.replace(base.querier, max_o=2_000_000,
+                                    Ps=32, max_nodes=6_000_000),
+        points=PointsConfig(num_points=2_000_000),
+    )
+
+
 def scannet_learnable(scan: str = "scene0101_04") -> Config:
-    """Learnable blur-kernel MLP variant (scene101_learnable-style)."""
-    return Config(
+    """Learnable blur-kernel MLP variant, pinned to scene101-style settings
+    (scene101_learnable.sh = scene101_full.sh with learnable_blur_kernel=1)."""
+    base = scannet_scene101(scan)
+    return base.replace(
         name=f"{scan}_learnable",
         agg=AggregatorConfig(learnable_blur_kernel=True),
         blur=BlurConfig(add_blur_sim=True, learnable=True),
-        loss=LossConfig(use_frame_weight=True),
     )
+
+
+def scannet_livingroom(scan: str = "livingroom") -> Config:
+    """livingroom_full.sh: scene241 settings with dilation_setup 7_8_1_6
+    (dilation_max=6) and the symmetric-only blur-kernel bank (version 2)."""
+    base = scannet_full(scan)
+    return base.replace(
+        sampling=dataclasses.replace(base.sampling, dilation_max=6),
+        blur=BlurConfig(add_blur_sim=True, blur_kernel_version=2),
+    )
+
+
+def scannet_vangoroom(scan: str = "vangoroom") -> Config:
+    """vangoroom_full.sh — identical settings to livingroom_full.sh."""
+    return scannet_livingroom(scan)
 
 
 def nerf_synth_points(scene: str = "lego") -> Config:
@@ -394,6 +422,25 @@ def nerf_synth_hybrid(scene: str = "chair") -> Config:
     )
 
 
+def fixture_room(scan: str = "roomsim") -> Config:
+    """The scannet_full pipeline (hybrid + blur bank + frame weights) fitted
+    to the analytic room scene tools/make_fixture_scene.py generates —
+    used for end-to-end driver runs and quality evidence where real ScanNet
+    scans are unavailable (PARITY.md).  Canonical vsize/SR/K/P retained;
+    only scene geometry/capacities/resolution differ."""
+    base = scannet_full(scan)
+    return base.replace(
+        name=f"{scan}_full",
+        querier=dataclasses.replace(
+            base.querier, ranges=(-2.0, -1.5, -0.5, 2.0, 1.5, 3.6),
+            grid_capacity=14_000_000, max_o=400_000,
+            Ps=32, max_nodes=2_500_000),
+        points=PointsConfig(num_points=400_000),
+        render=RenderConfig(near_plane=0.1, far_plane=4.5),
+        image_hw=(240, 320),
+    )
+
+
 def tiny_test() -> Config:
     """Small everything — CPU-testable shapes for unit tests."""
     return Config(
@@ -420,7 +467,11 @@ PRESETS = {
     "scannet_full": scannet_full,
     "scannet_hybrid": scannet_hybrid,
     "scannet_learnable": scannet_learnable,
+    "scannet_scene101": scannet_scene101,
+    "scannet_livingroom": scannet_livingroom,
+    "scannet_vangoroom": scannet_vangoroom,
     "nerf_synth_points": nerf_synth_points,
     "nerf_synth_hybrid": nerf_synth_hybrid,
+    "fixture_room": fixture_room,
     "tiny": tiny_test,
 }

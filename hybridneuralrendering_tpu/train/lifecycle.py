@@ -124,11 +124,29 @@ def holes_from_maps(maps: Dict[str, np.ndarray], bg_color: np.ndarray,
 def probe_and_grow(params, points: npts.NeuralPoints, grid, dataset,
                    cfg: Config, tracker: Optional[RayMissTracker] = None,
                    max_frames: Optional[int] = None,
-                   rng: Optional[np.random.Generator] = None):
+                   rng: Optional[np.random.Generator] = None,
+                   query_size_override=None):
     """Full probe-hole pass over selected frames -> grown points + fresh grid.
 
-    Returns (new_points, new_grid, num_added)."""
+    query_size_override: per-tier probe dilation width (the reference
+    overrides opt.query_size from prob_kernel_size during probing,
+    run/train_ft.py:458-463) — the probe renders against a grid whose
+    occupancy dilation uses this width; training continues on the normal
+    grid.  Returns (new_points, new_grid, num_added)."""
     rng = rng or np.random.default_rng(0)
+    if query_size_override is not None and \
+            tuple(query_size_override) != tuple(cfg.querier.query_size):
+        import dataclasses
+        probe_cfg = cfg.replace(querier=dataclasses.replace(
+            cfg.querier, query_size=tuple(query_size_override)))
+        geom_p = VG.compute_grid_geometry(
+            np.asarray(points.xyz), np.asarray(points.mask),
+            probe_cfg.querier)
+        probe_grid = VG.build_grid_jit(points.xyz, points.mask, geom_p,
+                                       probe_cfg.querier)
+        cfg_for_probe, grid_for_probe = probe_cfg, probe_grid
+    else:
+        cfg_for_probe, grid_for_probe = cfg, grid
     if tracker is not None and cfg.probe.prob_top == 1:
         frame_ids = tracker.top_ids()
     else:
@@ -140,7 +158,8 @@ def probe_and_grow(params, points: npts.NeuralPoints, grid, dataset,
     adds = []
     bg = np.asarray(cfg.render.bg_color, np.float32)
     for fi in frame_ids:
-        maps = probe_frame(params, points, grid, dataset, fi, cfg)
+        maps = probe_frame(params, points, grid_for_probe, dataset, fi,
+                           cfg_for_probe)
         adds.append(holes_from_maps(maps, bg, cfg))
     if not adds or sum(len(a[0]) for a in adds) == 0:
         return points, grid, 0

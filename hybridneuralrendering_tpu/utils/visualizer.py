@@ -72,13 +72,22 @@ class Visualizer:
 
     def gen_video(self, pattern_dir: Optional[str] = None, fps: int = 20,
                   out_name: str = "video.mp4"):
+        """mp4 via imageio/ffmpeg when available, else GIF (the reference
+        writes .mov or .gif, utils/visualizer.py:88-98)."""
         import imageio.v2 as imageio
         d = pattern_dir or self.img_dir
         frames = sorted(f for f in os.listdir(d) if f.endswith(".png"))
         if not frames:
             return None
         path = os.path.join(self.dir, out_name)
-        with imageio.get_writer(path, fps=fps) as w:
-            for f in frames:
-                w.append_data(imageio.imread(os.path.join(d, f)))
-        return path
+        try:
+            with imageio.get_writer(path, fps=fps) as w:
+                for f in frames:
+                    w.append_data(imageio.imread(os.path.join(d, f)))
+            return path
+        except Exception:
+            path = os.path.splitext(path)[0] + ".gif"
+            with imageio.get_writer(path, duration=1000.0 / fps) as w:
+                for f in frames:
+                    w.append_data(imageio.imread(os.path.join(d, f)))
+            return path

@@ -1,0 +1,116 @@
+"""Driver-level tests: scene editing with final render, camera-path videos."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hybridneuralrendering_tpu import config as C
+
+
+@pytest.fixture(scope="module")
+def tiny_checkpoint(tmp_path_factory):
+    """A saved checkpoint of a trained-ish tiny synthetic scene."""
+    from hybridneuralrendering_tpu.data.synthetic import make_synthetic_scene
+    from hybridneuralrendering_tpu.models import renderer
+    from hybridneuralrendering_tpu.train import checkpoint as ckpt_mod
+    from hybridneuralrendering_tpu.train import state as state_mod
+
+    cfg = C.tiny_test()
+    points, grid = make_synthetic_scene(cfg, num_points=1200)
+    params = renderer.init_params(jax.random.PRNGKey(0), cfg)
+    ts = state_mod.create_train_state(params, points, cfg)
+    root = tmp_path_factory.mktemp("ckpts")
+    ckpt_dir = os.path.join(root, "partA", "ckpt")
+    ckpt_mod.save_checkpoint(ckpt_dir, ts, 0.0)
+    return str(root), cfg
+
+
+class TestEditDriver:
+    def test_edit_merges_and_renders(self, tiny_checkpoint, tmp_path):
+        from hybridneuralrendering_tpu.cli import edit as edit_cli
+        root, cfg = tiny_checkpoint
+        T = np.eye(4, dtype=np.float32)
+        T[:3, 3] = [0.5, 0.0, 0.0]
+        trf = tmp_path / "shift.txt"
+        np.savetxt(trf, T)
+        ident = tmp_path / "id.txt"
+        np.savetxt(ident, np.eye(4))
+
+        params, points, grid = edit_cli.main([
+            "--preset", "tiny", "--checkpoints-dir", root,
+            "--parts", "partA", "partA",
+            "--transforms", str(ident), str(trf),
+            "--out-name", "edited_test",
+            "--render-frames", "2", "--image-hw", "24", "32",
+            "--radius", "2.5"])
+        # merged cloud has both parts
+        assert int(points.num_live) == 2 * 1200
+        assert points.rw2c is not None
+        # rendered frames + video on disk
+        out_dir = os.path.join(root, "edited_test")
+        pngs = [f for f in os.listdir(os.path.join(out_dir, "images"))
+                if f.endswith(".png")]
+        assert len(pngs) >= 2
+        vids = [f for f in os.listdir(out_dir)
+                if f.endswith(".mp4") or f.endswith(".gif")]
+        assert len(vids) >= 1
+
+
+class TestScanNetFlythrough:
+    def test_interpolated_path_and_render(self, tiny_checkpoint):
+        """gen_render_path keys -> PathView -> chunked render (the ScanNet
+        fly-through machinery, scannet_ft_dataset.py:988-1075)."""
+        from hybridneuralrendering_tpu.cli.render_vid import (
+            PathView, render_pose_path, scene_path_poses)
+        from hybridneuralrendering_tpu.data.paths import gen_render_path
+        from hybridneuralrendering_tpu.data.synthetic import (
+            make_synthetic_scene)
+        from hybridneuralrendering_tpu.models import renderer
+        from hybridneuralrendering_tpu.utils.visualizer import Visualizer
+
+        root, cfg = tiny_checkpoint
+        points, grid = make_synthetic_scene(cfg, num_points=1200)
+        params = renderer.init_params(jax.random.PRNGKey(0), cfg)
+
+        # key poses looking at the cloud from -z, sliding in x
+        keys = []
+        for i in range(3):
+            c2w = np.eye(4, dtype=np.float32)
+            c2w[:3, 3] = [0.1 * i, 0.0, -2.5]
+            keys.append(c2w)
+
+        class StubDS:
+            height, width = cfg.image_hw
+            intrinsic = np.array(
+                [[0.9 * 64, 0, 32], [0, 0.9 * 64, 24], [0, 0, 1]],
+                np.float32)
+            train_id_list = [0, 1, 2]
+
+            def _pose(self, vid):
+                return keys[vid]
+
+            def get_batch(self, idx, rng=None, pixelcoords=None):
+                return {"bg_color": np.asarray(cfg.render.bg_color,
+                                               np.float32)}
+
+        class Args:
+            frames = 6
+            key_stride = 1
+            phi = -30.0
+            radius = 3.0
+
+        poses = scene_path_poses(StubDS(), Args())
+        assert len(poses) >= 4
+        # interpolation passes through/near the key positions
+        pos = np.stack([p[:3, 3] for p in poses])
+        assert np.linalg.norm(pos - keys[0][:3, 3], axis=-1).min() < 0.12
+
+        vis = Visualizer(root, "flythrough_test")
+        out = render_pose_path(params, points, grid, StubDS(), poses[:2],
+                               cfg, vis, tag="fly", fps=4)
+        imgs = os.listdir(os.path.join(root, "flythrough_test", "images"))
+        assert sum(f.endswith(".png") for f in imgs) >= 2
+        assert out is None or os.path.exists(out)

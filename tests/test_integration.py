@@ -348,6 +348,57 @@ class TestLifecycle:
         assert int(new_grid.num_occ) >= int(grid.num_occ) or n_added == 0
 
 
+class TestLifecycleTiersAndPrune:
+    def test_tier_override_and_grow_prune_cycle(self, fake_scannet):
+        """Per-tier probe query_size override (run/train_ft.py:458-463) and a
+        grow -> prune cycle that keeps training running."""
+        import dataclasses
+
+        from hybridneuralrendering_tpu.data.scannet import ScannetScene
+        from hybridneuralrendering_tpu.data.synthetic import (
+            make_synthetic_batch)
+        from hybridneuralrendering_tpu.models import blur as blur_mod
+        from hybridneuralrendering_tpu.models import neural_points as npts
+        from hybridneuralrendering_tpu.models import renderer
+        from hybridneuralrendering_tpu.ops import voxel_grid as VG
+        from hybridneuralrendering_tpu.train import lifecycle
+        from hybridneuralrendering_tpu.train import state as state_mod
+        from hybridneuralrendering_tpu.train import step as step_mod
+
+        root, scan = fake_scannet
+        cfg = small_cfg()
+        cfg = cfg.replace(probe=dataclasses.replace(
+            cfg.probe, prune_thresh=0.5, prune_iter=4, prob_top=0))
+        ds = ScannetScene(root, scan, cfg, "train")
+        rng = np.random.default_rng(0)
+        xyz = np.stack([rng.uniform(-0.5, 0.5, 300),
+                        rng.uniform(-0.4, 0.4, 300),
+                        np.full(300, 2.0)], -1).astype(np.float32)
+        conf0 = np.where(np.arange(300) < 50, 0.1, 1.0).reshape(-1, 1)
+        points = npts.init_from_arrays(xyz, cfg.points, conf=conf0,
+                                       key=jax.random.PRNGKey(0))
+        geom = VG.compute_grid_geometry(xyz, np.ones(len(xyz), bool),
+                                        cfg.querier)
+        grid = VG.build_grid(points.xyz, points.mask, geom, cfg.querier)
+        params = renderer.init_params(jax.random.PRNGKey(0), cfg)
+
+        # probe with a tier-1 query_size override (1,1,1)
+        new_points, new_grid, n_added = lifecycle.probe_and_grow(
+            params, points, grid, ds, cfg, tracker=None, max_frames=1,
+            query_size_override=(1, 1, 1))
+        assert n_added >= 0
+
+        # prune the low-conf points; training step still runs on the result
+        pruned, grid2 = lifecycle.prune_and_rebuild(new_points, cfg)
+        assert int(pruned.num_live) <= int(new_points.num_live) - 50
+        ts = state_mod.create_train_state(params, pruned, cfg)
+        kernels = jnp.asarray(blur_mod.generate_kernel_bank(cfg.blur))
+        batch = make_synthetic_batch(cfg)
+        ts, items = step_mod.train_step(ts, grid2, batch,
+                                        jax.random.PRNGKey(0), kernels, cfg)
+        assert np.isfinite(float(items["loss_total"]))
+
+
 class TestLearnableBlurTraining:
     def test_step_with_learnable_kernel(self):
         import dataclasses
