@@ -243,6 +243,24 @@ def main(argv=None):
             return True
         return (s % cfg.optim.pyramid_cycle_steps) < cfg.optim.pyramid_burst_steps
 
+    # device-resident view bank: each training view's RGB uploads ONCE and
+    # the per-step nearest-view stack assembles on device — without this the
+    # trainer re-uploads ~4 full images every step (the dominant cost when
+    # the chip sits behind the axon tunnel)
+    view_bank = {}
+
+    def device_views(b):
+        nvids = b.get("nearest_vids")
+        if nvids is None or "images_nearest" not in b:
+            return
+        stack = []
+        for i, v in enumerate(nvids):
+            v = int(v)
+            if v not in view_bank:
+                view_bank[v] = jnp.asarray(b["images_nearest"][i])
+            stack.append(view_bank[v])
+        b["images_nearest"] = jnp.stack(stack)
+
     def staged_features(b):
         """Cached (images, stages) for one frame's nearest-view stack."""
         nvids = b.get("nearest_vids")
@@ -298,6 +316,7 @@ def main(argv=None):
             fi = 0
             for _ in range(args.frames_per_step):
                 fi, b = next_batch(step)
+                device_views(b)
                 if use_cache:
                     staged_list.append(staged_features(b))
                 frames.append(step_mod.device_batch(b))
@@ -313,6 +332,7 @@ def main(argv=None):
                 cfg, staged)
         else:
             fi, batch = next_batch(step)
+            device_views(batch)
             staged = staged_features(batch) if use_cache else None
             batch = step_mod.device_batch(batch)
             ts, items = step_mod.train_step(

@@ -41,12 +41,16 @@ def dist_weight(name: str, dists: jnp.ndarray, pnt_mask: jnp.ndarray,
                 axis_weight=None) -> jnp.ndarray:
     """dists: [R, SR, K, C]; pnt_mask: [R, SR, K] -> weights [R, SR, K]."""
     m = pnt_mask.astype(dists.dtype)
+    # norms clamp UNDER the sqrt: masked slots carry exactly-zero dists and
+    # sqrt'(0)=inf NaNs the xyz cotangent (feed-forward mode differentiates
+    # point positions; per-scene mode discards that cotangent)
     if name == "linear":
-        w = 1.0 / jnp.maximum(
-            jnp.linalg.norm(dists[..., :3], axis=-1), 1e-6)
+        w = 1.0 / jnp.sqrt(jnp.maximum(
+            jnp.sum(jnp.square(dists[..., :3]), axis=-1), 1e-12))
         return m * w
     if name == "numlinear":
-        w = m / jnp.maximum(jnp.linalg.norm(dists, axis=-1), 1e-6)
+        w = m / jnp.sqrt(jnp.maximum(
+            jnp.sum(jnp.square(dists), axis=-1), 1e-12))
         return w / jnp.maximum(jnp.sum(m, axis=-1, keepdims=True), 1.0)
     if name == "quadric":
         return m / jnp.maximum(
@@ -76,7 +80,8 @@ def dist_weight_ex(name: str, dists: jnp.ndarray, pnt_mask: jnp.ndarray,
         return dist_weight("trilinear", scaled, pnt_mask), embedding
     if name == "sh_intrp":
         from hybridneuralrendering_tpu.core.sh import sh_basis
-        dist_norm = jnp.linalg.norm(dists, axis=-1)
+        dist_norm = jnp.sqrt(jnp.maximum(
+            jnp.sum(jnp.square(dists), axis=-1), 1e-16))
         dirs = dists / jnp.maximum(dist_norm[..., None], 1e-8)
         nb = sh_degree ** 2
         shall = sh_basis(dirs, sh_degree, flip_dir=False)

@@ -75,8 +75,12 @@ def plane_sweep_warp(src_feat: jnp.ndarray, proj_mat: jnp.ndarray,
     rot = grid @ R.T                                        # [H, W, 3]
     # src position at depth d: rot*d + T  (equivalently rot + T/d, scaled)
     pos = rot[None] * depth_values[:, None, None, None] + T  # [D, H, W, 3]
-    xy = pos[..., :2] / pos[..., 2:3]
     valid = pos[..., 2] > 1e-3
+    # safe divide: masked-out taps must not produce inf coordinates, whose
+    # cotangents NaN the whole backward pass when this warp is differentiated
+    # (feed-forward training mode)
+    safe_z = jnp.where(valid[..., None], pos[..., 2:3], 1.0)
+    xy = pos[..., :2] / safe_z
     # torch-exact sampling position: module.py:62-66 normalizes as if
     # align_corners=True (x / ((W-1)/2) - 1) but grid_sample defaults to
     # align_corners=False, so the effective tap is x*W/(W-1) - 0.5 per axis —

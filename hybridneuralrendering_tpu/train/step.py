@@ -165,8 +165,15 @@ def eval_step(params: Dict, points, grid: PointGrid, batch: Dict,
 
 def stack_batches(batch_list):
     """List of per-frame batch dicts -> frame-stacked dict for
-    train_step_multi."""
+    train_step_multi.  Device-resident leaves (e.g. the trainer's view-bank
+    image stacks) stack on device — no round trip to host."""
     import numpy as np
     keys = batch_list[0].keys()
-    return {k: np.stack([np.asarray(b[k]) for b in batch_list])
-            for k in keys}
+    out = {}
+    for k in keys:
+        vals = [b[k] for b in batch_list]
+        if any(isinstance(v, jnp.ndarray) for v in vals):
+            out[k] = jnp.stack([jnp.asarray(v) for v in vals])
+        else:
+            out[k] = np.stack([np.asarray(v) for v in vals])
+    return out

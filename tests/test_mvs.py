@@ -192,6 +192,106 @@ class TestGeometricFilter:
         np.testing.assert_array_equal(np.asarray(geo_sum), V - 1)
 
 
+class TestLearnedDepth:
+    def test_probnet_mode_generates_points_and_trains(self):
+        """manual_depth_view=-1: ProbNet learned depth is differentiable end
+        to end (the reference's third optimizer group trains it)."""
+        params = point_gen.init(jax.random.PRNGKey(0), point_features_dim=8,
+                                use_mvsnet=False, use_probnet=True)
+        assert params.prob_net is not None
+        rng = np.random.default_rng(0)
+        V, H, Wd = 3, 32, 40
+        imgs = jnp.asarray(rng.uniform(0, 1, (V, H, Wd, 3)).astype(np.float32))
+        intr = jnp.asarray([[30.0, 0, Wd / 2], [0, 30.0, H / 2], [0, 0, 1]])
+        w2cs = np.stack([np.eye(4, dtype=np.float32)] * V)
+        for v in range(1, V):
+            w2cs[v][:3, 3] = rng.normal(0, 0.05, 3)
+        w2cs = jnp.asarray(w2cs)
+
+        cam_xyz, conf, mask = point_gen.gen_points(
+            params, imgs, intr, w2cs, 1.0, 3.0, num_depths=16,
+            conf_thresh=0.0, learned=True)
+        assert np.isfinite(np.asarray(cam_xyz)).all()
+        z = np.asarray(cam_xyz)[:, 2]
+        assert (z[np.asarray(mask)] >= 0.99).all()
+        assert (z[np.asarray(mask)] <= 3.01).all()
+
+        # gradient flows into the ProbNet / CostRegNet parameters
+        def loss(p):
+            d, c, _ = point_gen.gen_depth_learned(
+                p, imgs, intr, w2cs, 1.0, 3.0, num_depths=16)
+            return jnp.mean(d)
+
+        g = jax.grad(lambda pn, cr: loss(params._replace(prob_net=pn,
+                                                         cost_reg=cr)),
+                     argnums=(0, 1))(params.prob_net, params.cost_reg)
+        total = sum(float(jnp.abs(l).sum())
+                    for l in jax.tree_util.tree_leaves(g))
+        assert np.isfinite(total) and total > 0
+
+
+class TestFeedForwardTraining:
+    def test_third_optimizer_trains_mvs_nets(self):
+        """Feed-forward mode: per-batch point regeneration with the third
+        Adam group (mvs_lr) updating the MVS nets."""
+        from hybridneuralrendering_tpu import config as C
+        from hybridneuralrendering_tpu.models import renderer
+        from hybridneuralrendering_tpu.ops import voxel_grid as VG
+        from hybridneuralrendering_tpu.train import step_ff
+
+        cfg = C.tiny_test()
+        cfg = cfg.replace(
+            agg=__import__("dataclasses").replace(
+                cfg.agg, use_nearest=0, drop_ratio=0.0),
+            render=C.RenderConfig(near_plane=1.0, far_plane=3.0),
+            blur=C.BlurConfig(add_blur_sim=False))
+        rng = np.random.default_rng(0)
+        V, H, Wd = 3, 32, 40
+        group = {
+            "images": jnp.asarray(
+                rng.uniform(0, 1, (V, H, Wd, 3)).astype(np.float32)),
+            "intrinsic": jnp.asarray(
+                [[30.0, 0, Wd / 2], [0, 30.0, H / 2], [0, 0, 1]]),
+        }
+        w2cs = np.stack([np.eye(4, dtype=np.float32)] * V)
+        for v in range(1, V):
+            w2cs[v][:3, 3] = rng.normal(0, 0.05, 3)
+        group["w2cs"] = jnp.asarray(w2cs)
+
+        R = cfg.sampling.rays_per_batch
+        dirs = rng.normal(size=(R, 3)).astype(np.float32)
+        dirs[:, 2] = np.abs(dirs[:, 2]) + 1.0
+        dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+        ray_batch = {
+            "campos": jnp.zeros(3),
+            "camrotc2w": jnp.eye(3),
+            "raydir": jnp.asarray(dirs),
+            "gt_image": jnp.asarray(
+                rng.uniform(0, 1, (R, 3)).astype(np.float32)),
+            "bg_color": jnp.asarray([1.0, 1.0, 1.0]),
+        }
+        geom = VG.compute_grid_geometry(
+            np.zeros((1, 3), np.float32), np.zeros(1, bool), cfg.querier)
+
+        mvs_params = point_gen.init(jax.random.PRNGKey(0),
+                                    cfg.points.feature_dim,
+                                    use_mvsnet=False, use_probnet=True)
+        params = renderer.init_params(jax.random.PRNGKey(1), cfg)
+        ffs = step_ff.create_ff_state(params, mvs_params, cfg)
+        fn0 = np.array(jax.tree_util.tree_leaves(ffs.mvs_params.feature)[0])
+
+        losses = []
+        for i in range(3):
+            ffs, items = step_ff.train_step_ff(
+                ffs, group, ray_batch, geom, jax.random.PRNGKey(i), cfg,
+                num_depths=8, learned=True, conf_thresh=0.0)
+            losses.append(float(items["loss_total"]))
+        assert all(np.isfinite(losses)), losses
+        assert int(ffs.step) == 3
+        fn1 = np.asarray(jax.tree_util.tree_leaves(ffs.mvs_params.feature)[0])
+        assert np.abs(fn1 - fn0).sum() > 0   # mvs_lr group really updates
+
+
 class TestBootstrap:
     def test_feedforward_bootstrap_gt_depth(self):
         from hybridneuralrendering_tpu import config as C
