@@ -61,3 +61,31 @@ def shard_batch(batch: Dict, mesh: Mesh, cfg: ParallelConfig) -> Dict:
 def replicate_tree(tree, mesh: Mesh):
     rep = replicated(mesh)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, rep), tree)
+
+
+def make_sharded_train_step(mesh: Mesh, cfg, example_state, example_grid,
+                            example_batch, example_kernels):
+    """Jit the train step with EXPLICIT in/out shardings: the ray batch
+    pinned to the `data` axis, state/grid/kernels replicated, the updated
+    state constrained to stay replicated.  Input `device_put` alone lets
+    GSPMD pick layouts; declaring them here makes the intended distribution
+    part of the program (SURVEY §2.10 plan) and fails loudly on layout
+    regressions.  Returns a jitted fn(train_state, grid, batch, key,
+    blur_kernels) -> (train_state, items)."""
+    from hybridneuralrendering_tpu.train import step as step_mod
+
+    rep = replicated(mesh)
+    b_sh = batch_shardings(example_batch, mesh, cfg.parallel)
+    as_rep = lambda tree: jax.tree_util.tree_map(lambda _: rep, tree)
+    in_shardings = (as_rep(example_state), as_rep(example_grid), b_sh,
+                    rep, as_rep(example_kernels))
+    out_shardings = (as_rep(example_state), None)
+
+    raw = step_mod.train_step.__wrapped__
+
+    def body(train_state, grid, batch, key, kernels):
+        return raw(train_state, grid, batch, key, kernels, cfg)
+
+    return jax.jit(body, in_shardings=in_shardings,
+                   out_shardings=out_shardings,
+                   donate_argnums=(0,))

@@ -140,6 +140,45 @@ class TestMultiChip:
         assert len(jax.devices()) >= 8
         ge.dryrun_multichip(8)
 
+    def test_explicit_sharded_step_matches(self):
+        """make_sharded_train_step (declared in/out shardings) reproduces
+        the plain-jit step's loss on an 8-device mesh."""
+        from hybridneuralrendering_tpu import config as C
+        from hybridneuralrendering_tpu.parallel import mesh as pmesh
+
+        cfg = C.tiny_test()
+        # rays divisible over 8 devices
+        cfg = cfg.replace(sampling=C.SamplingConfig(
+            random_sample="dilated", random_sample_size=8,
+            dilation_patch_num=2, dilation_patch_size=4, edge_filter=0))
+        points, grid = make_synthetic_scene(cfg, num_points=1500)
+        batch = make_synthetic_batch(cfg)
+        params = renderer.init_params(jax.random.PRNGKey(0), cfg)
+        ts = state_mod.create_train_state(params, points, cfg)
+        kernels = jnp.asarray(blur_mod.generate_kernel_bank(cfg.blur))
+        key = jax.random.PRNGKey(5)
+
+        m = pmesh.make_mesh(cfg.parallel, jax.devices()[:8])
+        # replicate a DEEP COPY: device_put aliases the source buffer as
+        # shard 0, and fn donates (deletes) its state — the copy firewalls
+        # `params`/`points` for the reference step below
+        ts_r = pmesh.replicate_tree(
+            jax.tree_util.tree_map(jnp.array, ts), m)
+        grid_r = pmesh.replicate_tree(grid, m)
+        kern_r = pmesh.replicate_tree(kernels, m)
+        batch_s = pmesh.shard_batch(batch, m, cfg.parallel)
+
+        fn = pmesh.make_sharded_train_step(m, cfg, ts_r, grid_r, batch_s,
+                                           kern_r)
+        ts2, items = fn(ts_r, grid_r, batch_s, key, kern_r)
+
+        _, items_ref = step_mod.train_step(
+            state_mod.create_train_state(params, points, cfg), grid, batch,
+            key, kernels, cfg)
+        np.testing.assert_allclose(float(items["loss_total"]),
+                                   float(items_ref["loss_total"]), rtol=1e-4)
+        assert int(ts2.step) == 1
+
     def test_sharded_matches_single_device(self):
         """Same step on 1 vs 8 devices must agree (determinism across mesh)."""
         from hybridneuralrendering_tpu.parallel import mesh as pmesh
