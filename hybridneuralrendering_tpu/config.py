@@ -144,6 +144,11 @@ class AggregatorConfig:
     # f32 master weights; 'float32' = full precision.  Measured ~neutral on
     # throughput (the step is gather/memory-bound), so f32 stays the default.
     compute_dtype: str = "float32"
+    # Fused Pallas per-neighbor MLP chain (block1[+2]+block3+alpha head) with
+    # an on-chip recompute backward (ops/pallas_shading.py).  'auto': on TPU
+    # when the chain shape is supported; 'off': always the XLA path;
+    # 'interpret': force the kernel in interpreter mode (CPU tests).
+    fused_chain: str = "auto"
 
     # Hybrid rendering (image-based branch).
     use_nearest: int = 4                  # number of nearby training views fused

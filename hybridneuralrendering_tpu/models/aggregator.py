@@ -231,6 +231,20 @@ def init(key, cfg: AggregatorConfig) -> Dict:
     return params
 
 
+def use_fused_chain(cfg: AggregatorConfig) -> bool:
+    """The fused Pallas chain covers the canonical shapes: leaky_relu
+    activation, block3 present, alpha head.  'auto' gates on the TPU backend
+    (CPU tests run it in interpreter mode via 'interpret')."""
+    if cfg.fused_chain == "off":
+        return False
+    if cfg.act_type != "leaky_relu" or cfg.shading_feature_mlp_layer3 <= 0:
+        return False
+    if cfg.fused_chain == "interpret":
+        return True
+    import jax as _jax
+    return cfg.fused_chain == "auto" and _jax.default_backend() == "tpu"
+
+
 class AggOutput(NamedTuple):
     features: jnp.ndarray          # [R, SR, 1+3] (sigma, rgb)
     ray_valid: jnp.ndarray         # [R, SR] bool
@@ -347,11 +361,6 @@ def apply(params: Dict, cfg: AggregatorConfig, *,
             [feat, positional_encoding(feat, cfg.num_feat_freqs)], axis=-1)
     feat = jnp.concatenate([feat, dists_enc], axis=-1)
 
-    feat = mlp.mlp_apply(params["block1"], feat, cfg.act_type, final_act=True, compute_dtype=cdt)
-    if cfg.shading_feature_mlp_layer2 > 0:
-        feat = mlp.mlp_apply(params["block2"], feat, cfg.act_type,
-                             final_act=True, compute_dtype=cdt)
-
     # viewdirs: PE with raw prefix; ori part feeds the dir-delta features.
     # In edit mode, view dirs rotate into each part's original frame by its
     # first neighbor's Rw2c (point_aggregators.py:894-910)
@@ -365,23 +374,52 @@ def apply(params: Dict, cfg: AggregatorConfig, *,
     vdirs = positional_encoding(vdirs_in, cfg.num_viewdir_freqs, ori=True)
     ori_viewdirs, vdirs_enc = vdirs[..., :3], vdirs[..., 3:]     # [R,SR,·]
 
+    extra_parts = []
     if cfg.shading_feature_mlp_layer3 > 0:
-        parts = [feat]
         if "1" in cfg.point_color_mode:
-            parts.append(sampled_color)
+            extra_parts.append(sampled_color)
         if "1" in cfg.point_dir_mode:
             dir_delta = sampled_dir_in - ori_viewdirs[..., None, :]
             dir_dot = jnp.sum(sampled_dir_in * ori_viewdirs[..., None, :],
                               axis=-1, keepdims=True)
-            parts += [dir_delta, dir_dot]
-        feat = mlp.mlp_apply(params["block3"],
-                             jnp.concatenate(parts, axis=-1),
-                             cfg.act_type, final_act=True, compute_dtype=cdt)
+            extra_parts += [dir_delta, dir_dot]
+
+    fused = use_fused_chain(cfg)
+    if fused:
+        # one Pallas pass for block1[+2]+block3+alpha head; the backward
+        # recomputes activations on-chip instead of spilling [N,256]
+        # residual/cotangent chains to HBM (ops/pallas_shading.py)
+        from hybridneuralrendering_tpu.ops import pallas_shading
+        blockA = list(params["block1"])
+        if cfg.shading_feature_mlp_layer2 > 0:
+            blockA += list(params["block2"])
+        extra = (jnp.concatenate(extra_parts, axis=-1) if extra_parts
+                 else jnp.zeros(feat.shape[:-1] + (0,), f32))
+        feat2, alpha_raw = pallas_shading.fused_feat_alpha(
+            blockA, list(params["block3"]), list(params["alpha"]),
+            feat.reshape(R * SR * K, -1), extra.reshape(R * SR * K, -1),
+            compute_dtype=cfg.compute_dtype,
+            interpret=cfg.fused_chain == "interpret")
+        feat = feat2.reshape(R, SR, K, -1)
+        alpha_raw = alpha_raw.reshape(R, SR, K, 1)
+    else:
+        feat = mlp.mlp_apply(params["block1"], feat, cfg.act_type,
+                             final_act=True, compute_dtype=cdt)
+        if cfg.shading_feature_mlp_layer2 > 0:
+            feat = mlp.mlp_apply(params["block2"], feat, cfg.act_type,
+                                 final_act=True, compute_dtype=cdt)
+        if cfg.shading_feature_mlp_layer3 > 0:
+            feat = mlp.mlp_apply(params["block3"],
+                                 jnp.concatenate([feat] + extra_parts,
+                                                 axis=-1),
+                                 cfg.act_type, final_act=True,
+                                 compute_dtype=cdt)
+        alpha_raw = mlp.mlp_apply(params["alpha"], feat, cfg.act_type,
+                                  compute_dtype=cdt)
 
     mask_f = pnt_mask[..., None].astype(f32)
     # per-neighbor alpha, aggregated with conf-scaled weights (order 2)
-    alpha_pnt = raw2density(
-        mlp.mlp_apply(params["alpha"], feat, cfg.act_type, compute_dtype=cdt), cfg.act_super)
+    alpha_pnt = raw2density(alpha_raw, cfg.act_super)
     alpha = jnp.sum(alpha_pnt * mask_f * w, axis=-2)             # [R, SR, 1]
     feat_agg = jnp.sum(feat * mask_f * w, axis=-2)               # [R, SR, F]
 
