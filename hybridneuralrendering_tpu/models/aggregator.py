@@ -351,16 +351,6 @@ def apply(params: Dict, cfg: AggregatorConfig, *,
         rot = jnp.einsum("rskij,rskj->rski", sampled_rw2c,
                          dists_flat[..., :3])
         dists_flat = jnp.concatenate([rot, dists_flat[..., 3:]], axis=-1)
-    if cfg.dist_xyz_freq != 0:
-        dists_enc = positional_encoding(dists_flat, abs(cfg.dist_xyz_freq))
-    else:
-        dists_enc = dists_flat
-    feat = sampled_embedding
-    if cfg.num_feat_freqs > 0:
-        feat = jnp.concatenate(
-            [feat, positional_encoding(feat, cfg.num_feat_freqs)], axis=-1)
-    feat = jnp.concatenate([feat, dists_enc], axis=-1)
-
     # viewdirs: PE with raw prefix; ori part feeds the dir-delta features.
     # In edit mode, view dirs rotate into each part's original frame by its
     # first neighbor's Rw2c (point_aggregators.py:894-910)
@@ -388,21 +378,35 @@ def apply(params: Dict, cfg: AggregatorConfig, *,
     if fused:
         # one Pallas pass for block1[+2]+block3+alpha head; the backward
         # recomputes activations on-chip instead of spilling [N,256]
-        # residual/cotangent chains to HBM (ops/pallas_shading.py)
+        # residual/cotangent chains to HBM, and the positional encodings
+        # expand on-chip from the raw [N, Df+Dd] pair (ops/pallas_shading.py)
         from hybridneuralrendering_tpu.ops import pallas_shading
         blockA = list(params["block1"])
         if cfg.shading_feature_mlp_layer2 > 0:
             blockA += list(params["block2"])
+        Nf = R * SR * K
         extra = (jnp.concatenate(extra_parts, axis=-1) if extra_parts
-                 else jnp.zeros(feat.shape[:-1] + (0,), f32))
-        feat2, alpha_raw = pallas_shading.fused_feat_alpha(
+                 else jnp.zeros((R, SR, K, 0), f32))
+        feat2, alpha_raw = pallas_shading.fused_feat_alpha_pe(
             blockA, list(params["block3"]), list(params["alpha"]),
-            feat.reshape(R * SR * K, -1), extra.reshape(R * SR * K, -1),
+            sampled_embedding.reshape(Nf, -1),
+            dists_flat.reshape(Nf, -1), extra.reshape(Nf, -1),
+            cfg.num_feat_freqs, abs(cfg.dist_xyz_freq),
             compute_dtype=cfg.compute_dtype,
             interpret=cfg.fused_chain == "interpret")
         feat = feat2.reshape(R, SR, K, -1)
         alpha_raw = alpha_raw.reshape(R, SR, K, 1)
     else:
+        if cfg.dist_xyz_freq != 0:
+            dists_enc = positional_encoding(dists_flat, abs(cfg.dist_xyz_freq))
+        else:
+            dists_enc = dists_flat
+        feat = sampled_embedding
+        if cfg.num_feat_freqs > 0:
+            feat = jnp.concatenate(
+                [feat, positional_encoding(feat, cfg.num_feat_freqs)],
+                axis=-1)
+        feat = jnp.concatenate([feat, dists_enc], axis=-1)
         feat = mlp.mlp_apply(params["block1"], feat, cfg.act_type,
                              final_act=True, compute_dtype=cdt)
         if cfg.shading_feature_mlp_layer2 > 0:

@@ -76,7 +76,94 @@ def _mm_at(a, b, dt):
 
 
 # ---------------------------------------------------------------------------
-# kernels (generic over layer counts; meta = (n_a, n_b, n_h, dt_name))
+# in-kernel positional encoding
+#
+# The pallas_call boundary forces XLA to materialize the kernel operands, so
+# feeding the encoded [N, 284] block1 input would cost 3x the HBM traffic of
+# the raw [N, 38] (embedding, dists) pair.  The kernel therefore expands the
+# PE on-chip.  It builds sin/cos in contiguous frequency-major BLOCKS (cheap
+# lane concats) rather than the reference's d-major interleaved layout
+# (networks.py:175-190) — the difference is a static permutation of input
+# channels, which the wrapper folds into block1's first weight matrix.
+# ---------------------------------------------------------------------------
+
+def _expand_pe(xraw, pe, c1p):
+    """[T, Craw] -> [T, c1p]: [emb | sin_e(f-major) | cos_e | (dist raw |)
+    sin_d | cos_d | zero pad]."""
+    Df, Fe, Dd, Fd = pe
+    emb = xraw[:, :Df]
+    dst = xraw[:, Df:Df + Dd]
+    parts = [emb]
+    for j in range(Fe):
+        parts.append(jnp.sin(emb * (2.0 ** j)))
+    for j in range(Fe):
+        parts.append(jnp.cos(emb * (2.0 ** j)))
+    if Fd == 0:
+        parts.append(dst)
+    for j in range(Fd):
+        parts.append(jnp.sin(dst * (2.0 ** j)))
+    for j in range(Fd):
+        parts.append(jnp.cos(dst * (2.0 ** j)))
+    width = sum(p.shape[1] for p in parts)
+    if width < c1p:
+        parts.append(jnp.zeros((xraw.shape[0], c1p - width), xraw.dtype))
+    return jnp.concatenate(parts, axis=1)
+
+
+def _pe_backward(dx1, xraw, pe, craw_p):
+    """Cotangent of _expand_pe: [T, c1p] -> [T, craw_p]."""
+    Df, Fe, Dd, Fd = pe
+    emb = xraw[:, :Df]
+    dst = xraw[:, Df:Df + Dd]
+    d_emb = dx1[:, :Df]
+    off = Df
+    for j in range(Fe):
+        s = dx1[:, off + j * Df: off + (j + 1) * Df]
+        d_emb = d_emb + (2.0 ** j) * jnp.cos(emb * (2.0 ** j)) * s
+    off += Fe * Df
+    for j in range(Fe):
+        c = dx1[:, off + j * Df: off + (j + 1) * Df]
+        d_emb = d_emb - (2.0 ** j) * jnp.sin(emb * (2.0 ** j)) * c
+    off += Fe * Df
+    if Fd == 0:
+        d_dst = dx1[:, off: off + Dd]
+        off += Dd
+    else:
+        d_dst = jnp.zeros_like(dst)
+        for j in range(Fd):
+            s = dx1[:, off + j * Dd: off + (j + 1) * Dd]
+            d_dst = d_dst + (2.0 ** j) * jnp.cos(dst * (2.0 ** j)) * s
+        off += Fd * Dd
+        for j in range(Fd):
+            c = dx1[:, off + j * Dd: off + (j + 1) * Dd]
+            d_dst = d_dst - (2.0 ** j) * jnp.sin(dst * (2.0 ** j)) * c
+    width = Df + Dd
+    pad = ((0, 0), (0, craw_p - width))
+    return jnp.pad(jnp.concatenate([d_emb, d_dst], axis=1), pad)
+
+
+def pe_permutation(Df, Fe, Dd, Fd):
+    """ref-layout channel index for each kernel-layout channel (numpy)."""
+    import numpy as np
+    perm = list(range(Df))                                  # emb raw
+    for sc in (0, 1):                                       # sin block, cos block
+        for j in range(Fe):
+            for d in range(Df):
+                perm.append(Df + (d * Fe + j) * 2 + sc)
+    off = Df + 2 * Fe * Df
+    if Fd == 0:
+        perm += [off + d for d in range(Dd)]
+    else:
+        for sc in (0, 1):
+            for j in range(Fd):
+                for d in range(Dd):
+                    perm.append(off + (d * Fd + j) * 2 + sc)
+    return np.asarray(perm)
+
+
+# ---------------------------------------------------------------------------
+# kernels (generic over layer counts; meta = (n_a, n_b, n_h, dt_name,
+# interpret, pe))
 # ---------------------------------------------------------------------------
 
 def _forward_sweep(x1, extra, wa, wb, wh, dt, keep_pre=False):
@@ -111,7 +198,7 @@ def _unpack_layers(it, n):
     return [(next(it)[:], next(it)[:]) for _ in range(n)]
 
 
-def _fwd_kernel(n_a, n_b, n_h, dt, *refs):
+def _fwd_kernel(n_a, n_b, n_h, dt, pe, c1p, *refs):
     it = iter(refs)
     x1 = next(it)[:]
     extra = next(it)[:]
@@ -120,17 +207,20 @@ def _fwd_kernel(n_a, n_b, n_h, dt, *refs):
     wh = _unpack_layers(it, n_h)
     feat_ref = next(it)
     alpha_ref = next(it)
+    if pe is not None:
+        x1 = _expand_pe(x1, pe, c1p)
     feat, alpha, _ = _forward_sweep(x1, extra, wa, wb, wh, dt)
     feat_ref[:] = feat
     alpha_ref[:] = alpha
 
 
-def _bwd_kernel(n_a, n_b, n_h, dt, *refs):
+def _bwd_kernel(n_a, n_b, n_h, dt, pe, c1p, *refs):
     it = iter(refs)
-    x1 = next(it)[:]
+    xraw = next(it)[:]
     extra = next(it)[:]
     dfeat = next(it)[:]
     dalpha = next(it)[:]
+    x1 = xraw if pe is None else _expand_pe(xraw, pe, c1p)
     wa = _unpack_layers(it, n_a)
     wb = _unpack_layers(it, n_b)
     wh = _unpack_layers(it, n_h)
@@ -182,6 +272,8 @@ def _bwd_kernel(n_a, n_b, n_h, dt, *refs):
         elif i == n_a and n_b > 0:  # B bottom: split concat(A_out, extra)
             dextra_ref[:] = g[:, g.shape[1] - extra.shape[1]:]
             g = g[:, :g.shape[1] - extra.shape[1]]
+    if pe is not None:
+        g = _pe_backward(g, xraw, pe, dx1_ref.shape[1])
     dx1_ref[:] = g
 
 
@@ -209,15 +301,16 @@ def _flat_ws(Ws):
 
 
 def _fwd_call(meta, Ws, x1p, extrap):
-    n_a, n_b, n_h, dt_name, interpret = meta
+    n_a, n_b, n_h, dt_name, interpret, pe = meta
     dt = jnp.bfloat16 if dt_name == "bfloat16" else None
     Np, C1 = x1p.shape
     Ce = extrap.shape[1]
     dims_p = [(w.shape[0], w.shape[1]) for (w, _) in Ws]
-    Fw = dims_p[n_a + n_b - 1][1] if n_b > 0 else dims_p[n_a - 1][1]
+    c1p = dims_p[0][0]
+    Fw = dims_p[n_a + n_b - 1][1]
     Ha = dims_p[-1][1]
     return pl.pallas_call(
-        functools.partial(_fwd_kernel, n_a, n_b, n_h, dt),
+        functools.partial(_fwd_kernel, n_a, n_b, n_h, dt, pe, c1p),
         grid=(Np // TILE,),
         in_specs=[_row_spec(C1), _row_spec(Ce)] + _wspecs(dims_p),
         out_specs=[_row_spec(Fw), _row_spec(Ha)],
@@ -228,11 +321,12 @@ def _fwd_call(meta, Ws, x1p, extrap):
 
 
 def _bwd_call(meta, Ws, x1p, extrap, dfeat, dalpha):
-    n_a, n_b, n_h, dt_name, interpret = meta
+    n_a, n_b, n_h, dt_name, interpret, pe = meta
     dt = jnp.bfloat16 if dt_name == "bfloat16" else None
     Np, C1 = x1p.shape
     Ce = extrap.shape[1]
     dims_p = [(w.shape[0], w.shape[1]) for (w, _) in Ws]
+    c1p = dims_p[0][0]
     Fw, Ha = dfeat.shape[1], dalpha.shape[1]
 
     dw_specs, dw_shapes = [], []
@@ -245,7 +339,7 @@ def _bwd_call(meta, Ws, x1p, extrap, dfeat, dalpha):
                       jax.ShapeDtypeStruct((1, o_p), jnp.float32)]
 
     outs = pl.pallas_call(
-        functools.partial(_bwd_kernel, n_a, n_b, n_h, dt),
+        functools.partial(_bwd_kernel, n_a, n_b, n_h, dt, pe, c1p),
         grid=(Np // TILE,),
         in_specs=([_row_spec(C1), _row_spec(Ce), _row_spec(Fw),
                    _row_spec(Ha)] + _wspecs(dims_p)),
@@ -314,36 +408,86 @@ def fused_feat_alpha(blockA: List[Dict], blockB: List[Dict],
     x1p = _pad2(x1, Np, C1p)
     extrap = _pad2(extra, Np, Cep)
 
-    # padded layer dims: A[0] consumes C1p; B[0] consumes A_out_p + Cep
-    def pad_stack(layers, in_p, force_in=None):
-        out = []
-        cur = in_p
-        for i, lp in enumerate(layers):
-            i_dim = lp["w"].shape[0]
-            o_p = _rup(lp["w"].shape[1], LANE)
-            src = lp["w"]
-            if force_in is not None and i == 0:
-                # B[0]: rows [0:F) are the A-output block, rows [F:) the extra
-                # tail — re-place the tail at the padded A-width boundary
-                F = force_in
-                W = jnp.zeros((cur, o_p), lp["w"].dtype)
-                W = W.at[:F, :src.shape[1]].set(src[:F])
-                W = W.at[cur - Cep: cur - Cep + (src.shape[0] - F),
-                         :src.shape[1]].set(src[F:])
-            else:
-                W = _pad2(src, cur, o_p)
-            b = _pad2(lp["b"][None, :], 1, o_p)
-            out.append((W, b))
-            cur = o_p
-        return out, cur
-
-    wa, a_out = pad_stack(blockA, C1p)
+    wa, a_out = _pad_stack(blockA, C1p, Cep)
     F_real = blockB[0]["w"].shape[0] - Ce
-    wb, b_out = pad_stack(blockB, a_out + Cep, force_in=F_real)
-    wh, _ = pad_stack(head, b_out)
+    wb, b_out = _pad_stack(blockB, a_out + Cep, Cep, force_in=F_real)
+    wh, _ = _pad_stack(head, b_out, Cep)
 
-    meta = (len(wa), len(wb), len(wh), compute_dtype, interpret)
+    meta = (len(wa), len(wb), len(wh), compute_dtype, interpret, None)
     feat_p, alpha_p = _chain_padded(meta, tuple(wa + wb + wh), x1p, extrap)
+
+    return (feat_p[:N, :blockB[-1]["w"].shape[1]],
+            alpha_p[:N, :head[-1]["w"].shape[1]])
+
+
+def _pad_stack(layers, in_p, Cep, force_in=None, perm=None):
+    """Zero-pad a Linear stack to lane-aligned dims.
+
+    force_in: B[0] — rows [0:F) are the A-output block, rows [F:) the extra
+    tail, re-placed at the padded A-width boundary.  perm: A[0] — permute
+    input-channel rows into the kernel's PE layout first.  The final layer's
+    output pads to 8 lanes (not 128) when it is narrower — the alpha head's
+    [N, 1] output would otherwise cost 16x the HBM traffic.
+    """
+    out = []
+    cur = in_p
+    for i, lp in enumerate(layers):
+        o_real = lp["w"].shape[1]
+        last = i == len(layers) - 1
+        o_p = _rup(o_real, 8 if (last and o_real <= 8) else LANE)
+        src = lp["w"]
+        if perm is not None and i == 0:
+            src = src[jnp.asarray(perm)]
+        if force_in is not None and i == 0:
+            F = force_in
+            W = jnp.zeros((cur, o_p), src.dtype)
+            W = W.at[:F, :o_real].set(src[:F])
+            W = W.at[cur - Cep: cur - Cep + (src.shape[0] - F),
+                     :o_real].set(src[F:])
+        else:
+            W = _pad2(src, cur, o_p)
+        b = _pad2(lp["b"][None, :], 1, o_p)
+        out.append((W, b))
+        cur = o_p
+    return out, cur
+
+
+def fused_feat_alpha_pe(blockA, blockB, head, emb: jnp.ndarray,
+                        dists: jnp.ndarray, extra: jnp.ndarray,
+                        num_feat_freqs: int, dist_freqs: int,
+                        *, compute_dtype: str = "float32",
+                        interpret: bool = False):
+    """Like fused_feat_alpha, but takes the RAW per-neighbor embedding
+    [N, Df] and dists [N, Dd] and expands the positional encodings on-chip
+    (3x less operand traffic across the pallas_call boundary).  blockA[0]
+    must expect the reference input layout [emb | PE(emb) | PE(dists)]
+    (aggregator.apply); its rows are permuted into the kernel layout here.
+    """
+    assert blockB and head, "fused chain requires block3 and an alpha head"
+    N, Df = emb.shape
+    Dd = dists.shape[1]
+    Ce = extra.shape[1]
+    pe = (Df, num_feat_freqs, Dd, dist_freqs)
+    c1_real = (Df + 2 * num_feat_freqs * Df
+               + (Dd if dist_freqs == 0 else 2 * dist_freqs * Dd))
+    assert blockA[0]["w"].shape[0] == c1_real, (
+        blockA[0]["w"].shape, c1_real)
+
+    Np = _rup(max(N, TILE), TILE)
+    Crawp = _rup(Df + Dd, LANE)
+    Cep = _rup(max(Ce, 1), LANE)
+    xrawp = _pad2(jnp.concatenate([emb, dists], axis=1), Np, Crawp)
+    extrap = _pad2(extra, Np, Cep)
+
+    C1p = _rup(c1_real, LANE)
+    perm = pe_permutation(Df, num_feat_freqs, Dd, dist_freqs)
+    wa, a_out = _pad_stack(blockA, C1p, Cep, perm=perm)
+    F_real = blockB[0]["w"].shape[0] - Ce
+    wb, b_out = _pad_stack(blockB, a_out + Cep, Cep, force_in=F_real)
+    wh, _ = _pad_stack(head, b_out, Cep)
+
+    meta = (len(wa), len(wb), len(wh), compute_dtype, interpret, pe)
+    feat_p, alpha_p = _chain_padded(meta, tuple(wa + wb + wh), xrawp, extrap)
 
     return (feat_p[:N, :blockB[-1]["w"].shape[1]],
             alpha_p[:N, :head[-1]["w"].shape[1]])

@@ -76,6 +76,52 @@ def test_kernel_matches_xla_chain(dims):
                                    rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.parametrize("freqs", [(3, 5), (2, 0), (0, 2)])
+def test_pe_variant_matches_encoded_chain(freqs):
+    """On-chip PE expansion + W-row permutation == XLA encode-then-chain."""
+    from hybridneuralrendering_tpu.core.encoding import positional_encoding
+    fe, fd = freqs
+    Df, Dd, Ce = 32, 6, 7
+    c1 = Df + 2 * fe * Df + (Dd if fd == 0 else 2 * fd * Dd)
+    dims_a, dims_b, dims_h = [c1, 128, 128], [128 + Ce, 128], [128, 1]
+    blockA, blockB, head = make_params(jax.random.PRNGKey(5),
+                                       dims_a, dims_b, dims_h)
+    ks = jax.random.split(jax.random.PRNGKey(6), 5)
+    N = 200
+    emb = jax.random.normal(ks[0], (N, Df))
+    dists = jax.random.normal(ks[1], (N, Dd))
+    extra = jax.random.normal(ks[2], (N, Ce))
+    df = jax.random.normal(ks[3], (N, dims_b[-1]))
+    da = jax.random.normal(ks[4], (N, 1))
+
+    def encode(emb, dists):
+        x = emb
+        if fe > 0:
+            x = jnp.concatenate([x, positional_encoding(x, fe)], axis=-1)
+        de = positional_encoding(dists, fd) if fd > 0 else dists
+        return jnp.concatenate([x, de], axis=-1)
+
+    def loss_ref(bA, bB, hd, emb, dists, ex):
+        f, a = ref_chain(bA, bB, hd, encode(emb, dists), ex)
+        return jnp.sum(f * df) + jnp.sum(a * da)
+
+    def loss_pe(bA, bB, hd, emb, dists, ex):
+        f, a = PS.fused_feat_alpha_pe(bA, bB, hd, emb, dists, ex, fe, fd,
+                                      interpret=True)
+        return jnp.sum(f * df) + jnp.sum(a * da)
+
+    args = (blockA, blockB, head, emb, dists, extra)
+    v_r, g_r = jax.value_and_grad(loss_ref, argnums=(0, 1, 2, 3, 4, 5))(*args)
+    v_k, g_k = jax.value_and_grad(loss_pe, argnums=(0, 1, 2, 3, 4, 5))(*args)
+    np.testing.assert_allclose(float(v_k), float(v_r), rtol=1e-5)
+    for r, k in zip(jax.tree_util.tree_leaves(g_r),
+                    jax.tree_util.tree_leaves(g_k)):
+        scale = np.maximum(np.max(np.abs(np.asarray(r))), 1e-6)
+        np.testing.assert_allclose(np.asarray(k) / scale,
+                                   np.asarray(r) / scale,
+                                   rtol=1e-4, atol=1e-5)
+
+
 def test_row_padding_exact():
     """N not a multiple of the tile: pad rows must not perturb results."""
     dims_a, dims_b, dims_h = [32, 128], [128 + 3, 128], [128, 1]
