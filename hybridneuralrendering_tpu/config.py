@@ -148,7 +148,12 @@ class AggregatorConfig:
     # an on-chip recompute backward (ops/pallas_shading.py).  'auto': on TPU
     # when the chain shape is supported; 'off': always the XLA path;
     # 'interpret': force the kernel in interpreter mode (CPU tests).
-    fused_chain: str = "auto"
+    # Default OFF: bench-validated neutral-to--2% on the canonical workload
+    # (tools/ablate_fused.py r2: XLA 13113 rays/s vs fused f32 12850 /
+    # bf16-t512 13223, all within noise) — the step is not bound by the MLP
+    # chain's residual traffic.  The kernel stays as tested infrastructure
+    # for configs where the chain dominates (larger F / deeper stacks).
+    fused_chain: str = "off"
 
     # Hybrid rendering (image-based branch).
     use_nearest: int = 4                  # number of nearby training views fused
