@@ -76,7 +76,7 @@ def full_step(ts, key, c=cfg):
 
 
 @partial(jax.jit, static_argnames=("c", "which"), donate_argnames=("ts",))
-def partial_grad_step(ts, key, c=cfg, which="net"):
+def partial_grad_step(ts, key, grid, batch, kernels, c=cfg, which="net"):
     """Gradient wrt only one param group; the other is frozen."""
     pts_tree = state_mod.point_param_tree(ts.points, c)
     argnum = 0 if which == "net" else 1
@@ -91,7 +91,7 @@ def partial_grad_step(ts, key, c=cfg, which="net"):
 
 
 @partial(jax.jit, static_argnames=("c",), donate_argnames=("ts",))
-def fwd_only_step(ts, key, c=cfg):
+def fwd_only_step(ts, key, grid, batch, kernels, c=cfg):
     pts_tree = state_mod.point_param_tree(ts.points, c)
     total, items = step_mod.loss_fn(ts.params, pts_tree, ts.points, grid,
                                     batch, c, key, kernels)
@@ -99,7 +99,7 @@ def fwd_only_step(ts, key, c=cfg):
 
 
 @partial(jax.jit, static_argnames=("c",), donate_argnames=("ts",))
-def query_only_step(ts, key, c=cfg):
+def query_only_step(ts, key, grid, batch, c=cfg):
     """Query + attribute gather, nothing else."""
     from hybridneuralrendering_tpu.models import neural_points as npts
     qres = Q.query_points(grid, ts.points.xyz, batch["campos"],
@@ -111,7 +111,7 @@ def query_only_step(ts, key, c=cfg):
 
 
 @partial(jax.jit, static_argnames=("c",), donate_argnames=("ts",))
-def query_core_step(ts, key, c=cfg):
+def query_core_step(ts, key, grid, batch, c=cfg):
     """Query alone (no attribute gather)."""
     qres = Q.query_points(grid, ts.points.xyz, batch["campos"],
                           batch["raydir"], c.querier, c.render.near_plane,
@@ -123,15 +123,19 @@ def query_core_step(ts, key, c=cfg):
 ts = fresh_ts()
 timeit("full", full_step, ts)
 ts = fresh_ts()
-timeit("grad_net_only", lambda s, k: partial_grad_step(s, k, which="net"), ts)
+timeit("grad_net_only",
+       lambda s, k: partial_grad_step(s, k, grid, batch, kernels,
+                                      which="net"), ts)
 ts = fresh_ts()
-timeit("grad_pts_only", lambda s, k: partial_grad_step(s, k, which="pts"), ts)
+timeit("grad_pts_only",
+       lambda s, k: partial_grad_step(s, k, grid, batch, kernels,
+                                      which="pts"), ts)
 ts = fresh_ts()
-timeit("fwd_only", fwd_only_step, ts)
+timeit("fwd_only", lambda s, k: fwd_only_step(s, k, grid, batch, kernels), ts)
 ts = fresh_ts()
-timeit("query_gather", query_only_step, ts)
+timeit("query_gather", lambda s, k: query_only_step(s, k, grid, batch), ts)
 ts = fresh_ts()
-timeit("query_core", query_core_step, ts)
+timeit("query_core", lambda s, k: query_core_step(s, k, grid, batch), ts)
 
 # stage toggles (full step, feature off)
 for tag, c2 in (
