@@ -191,10 +191,10 @@ def query_points(grid: PointGrid, xyz: jnp.ndarray, campos: jnp.ndarray,
     # 1. candidate samples along rays (worldcoords.py:646-650)
     jitter = cfg.sample_jitter if train else 0.0
     if cfg.sample_mode == "disparity":
-        raypos, _, _ = ray_gen.near_far_disparity_linear(
+        raypos, _, tvals = ray_gen.near_far_disparity_linear(
             campos, raydir, D, near, far, jitter, key)
     else:
-        raypos, _, _ = ray_gen.near_far_linear(
+        raypos, _, tvals = ray_gen.near_far_linear(
             campos, raydir, D, near, far, jitter, key)        # [R, D, 3]
 
     # 2. cull candidates by dilated occupancy (mask_raypos, :384-408)
@@ -203,21 +203,24 @@ def query_points(grid: PointGrid, xyz: jnp.ndarray, campos: jnp.ndarray,
         mode="fill", fill_value=0) > 0                        # [R, D]
 
     # 3. keep first SR hits per ray (cumsum compaction, :645-656).
-    #    The reference scatters hits into their slots; on TPU a scatter with
-    #    data-dependent indices serializes, so invert it: the s-th shading
-    #    point of a ray is the first candidate where the (monotone) hit count
-    #    reaches s+1 — a vmapped binary search, then row gathers.
+    #    The reference scatters hits into their slots; on TPU both the
+    #    scatter AND the binary-search inversion lose to a dense one-hot
+    #    reduction: the s-th shading point is the unique candidate d with
+    #    occ_hit[d] and hit-count cum[d] == s+1, so its ray parameter is a
+    #    masked sum over D — pure fused VPU math, no gathers (measured:
+    #    searchsorted + take_along_axis cost ~8 ms of the 26 ms query,
+    #    tools/ablate_query.py).
     cum = jnp.cumsum(occ_hit.astype(jnp.int32), axis=-1)      # [R, D]
     targets = jnp.arange(1, SR + 1, dtype=jnp.int32)          # [SR]
-    idx = jax.vmap(
-        lambda c: jnp.searchsorted(c, targets, side="left"))(cum)  # [R, SR]
-    sample_mask = idx < D
-    idx_c = jnp.clip(idx, 0, D - 1)
+    E = occ_hit[..., None] & (cum[..., None] == targets)      # [R, D, SR]
+    sample_mask = jnp.any(E, axis=1)                          # [R, SR]
+    t_sel = jnp.sum(jnp.where(E, tvals[..., None], 0.0), axis=1)
     # invalid slots keep the last (finite, on-ray, positive-depth) candidate
     # as a placeholder — zeroing them would NaN the perspective divide when a
     # camera sits at the origin; validity travels in sample_mask/pnt_mask
-    sample_loc_w = jnp.take_along_axis(
-        raypos, idx_c[..., None], axis=1)                     # [R, SR, 3]
+    t_sel = jnp.where(sample_mask, t_sel, tvals[:, -1:])
+    sample_loc_w = campos[None, None, :] + \
+        raydir[:, None, :] * t_sel[..., None]                 # [R, SR, 3]
 
     # 4. exact K-NN over the kernel_size neighbor voxels
     best_d, best_i = knn_over_grid(grid, sample_loc_w, sample_mask, cfg)
