@@ -157,6 +157,11 @@ class AggregatorConfig:
 
     # Hybrid rendering (image-based branch).
     use_nearest: int = 4                  # number of nearby training views fused
+    # Pyramid-cache sampling strategy: True materializes the 4 nearest views'
+    # full-res feature maps from the cached stage maps each step (dense VPU
+    # resize + ONE lane-aligned row gather); False gathers bilinear corners
+    # per stage (48 tiny-row gathers).  Same math either way.
+    staged_materialize: bool = True
     feature_guidance: bool = True         # 3D feature guides fusion weights
     use_delta_view: bool = True
     downweight_blurry_feats: bool = False  # multiply fusion weight by frame weight

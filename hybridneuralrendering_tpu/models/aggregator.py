@@ -440,6 +440,11 @@ def apply(params: Dict, cfg: AggregatorConfig, *,
     has_img = img_feat_n is not None or img_feat_staged is not None
     use_nearest = cfg.use_nearest if has_img else 0
     if use_nearest > 0:
+        from hybridneuralrendering_tpu.models import feature_pyramid
+        if img_feat_staged is not None and cfg.staged_materialize:
+            images_n, stages = img_feat_staged
+            img_feat_n = feature_pyramid.materialize(images_n, stages)
+            img_feat_staged = None
         if img_feat_staged is not None:
             images_n, stages = img_feat_staged
             V, H, W, _ = images_n.shape
@@ -451,11 +456,25 @@ def apply(params: Dict, cfg: AggregatorConfig, *,
         pxc, pyc = jnp.clip(px, 0, W - 1), jnp.clip(py, 0, H - 1)
         vidx = jnp.arange(V)[:, None, None]
         if img_feat_staged is not None:
-            from hybridneuralrendering_tpu.models import feature_pyramid
             img_feat = feature_pyramid.gather_staged(
                 images_n, stages, pyc, pxc)                      # [V,R,SR,45]
         else:
-            img_feat = img_feat_n[vidx, pyc, pxc]                # [V,R,SR,45]
+            # flat lane-aligned row gather with the sorted-cumsum custom VJP
+            # (neural_points._gather_rows): the plain [vidx,pyc,pxc] gather's
+            # backward is a serialized scatter-add into the [V,H,W,C] map on
+            # CNN-burst steps; the custom path reduces duplicates sorted.
+            from hybridneuralrendering_tpu.models.neural_points import \
+                _gather_rows
+            C = img_feat_n.shape[-1]
+            pad = (-C) % 64
+            if pad:
+                img_feat_n = jnp.concatenate(
+                    [img_feat_n,
+                     jnp.zeros(img_feat_n.shape[:-1] + (pad,),
+                               img_feat_n.dtype)], axis=-1)
+            flat = img_feat_n.reshape(V * H * W, C + pad)
+            fid = (vidx * H + pyc) * W + pxc                     # [V, R, SR]
+            img_feat = _gather_rows(flat, fid)[..., :cfg.aux_feature_channels]
         img_feat = img_feat * valid[..., None].astype(f32)
 
         if cfg.tradition_attention:

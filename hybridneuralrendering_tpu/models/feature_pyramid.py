@@ -70,6 +70,28 @@ def apply(params: Dict, images: jnp.ndarray, act: str = "leaky_relu",
     ], axis=-1)
 
 
+def materialize(images: jnp.ndarray, stages, pad_to: int = 64) -> jnp.ndarray:
+    """Cached stage maps -> full-res [V, H, W, pad_to] feature map.
+
+    Dense-VPU alternative to `gather_staged` for the per-step nearest views:
+    upsampling V=4 stage maps is pure bandwidth (~300 MB) while the staged
+    corner gathers issue 4 views x 3 stages x 4 corners = 48 tiny-row
+    gathers per step.  Numerically identical to `apply` (same
+    bilinear_resize + concat), so nearest-pixel lookups of the result match
+    the uncached path exactly.  Zero-padded to a 64-lane multiple for the
+    row-gather lane rule (CLAUDE.md)."""
+    V, H, W, _ = images.shape
+    parts = [images]
+    for stage in stages:
+        parts.append(mlp.bilinear_resize(stage.astype(images.dtype), H, W))
+    feat = jnp.concatenate(parts, axis=-1)
+    pad = (-feat.shape[-1]) % pad_to
+    if pad:
+        feat = jnp.concatenate(
+            [feat, jnp.zeros(feat.shape[:-1] + (pad,), feat.dtype)], axis=-1)
+    return feat
+
+
 def _bilinear_gather(stage: jnp.ndarray, py: jnp.ndarray, px: jnp.ndarray,
                      H: int, W: int) -> jnp.ndarray:
     """Sample `stage` [V, h, w, C] at full-res integer pixels (py, px) [V, ...]

@@ -1,5 +1,7 @@
 """Train-step and multi-device sharding tests (8 virtual CPU devices)."""
 
+import dataclasses
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -86,6 +88,25 @@ class TestPyramidCache:
             ts.params, pts_tree, ts.points, grid, batch, cfg, key, kernels,
             None, staged)
         np.testing.assert_allclose(float(total_cached), float(total_ref),
+                                   rtol=2e-5, atol=2e-6)
+
+    def test_staged_corner_gather_matches_materialize(self):
+        """Both pyramid-cache sampling strategies (materialized full-res map
+        vs per-stage bilinear corner gathers) compute the same loss."""
+        cfg, ts, grid, batch, kernels = setup()
+        pts_tree = state_mod.point_param_tree(ts.points, cfg)
+        key = jax.random.PRNGKey(3)
+        stages = renderer.compute_image_feature_stages(
+            ts.params, cfg, batch["images_nearest"])
+        staged = (jnp.asarray(batch["images_nearest"]), stages)
+        totals = {}
+        for mat in (True, False):
+            c = cfg.replace(agg=dataclasses.replace(
+                cfg.agg, staged_materialize=mat))
+            totals[mat], _ = step_mod.loss_fn(
+                ts.params, pts_tree, ts.points, grid, batch, c, key, kernels,
+                None, staged)
+        np.testing.assert_allclose(float(totals[True]), float(totals[False]),
                                    rtol=2e-5, atol=2e-6)
 
     def test_cached_step_freezes_pyramid(self):
