@@ -127,18 +127,20 @@ def _gather_rows_bwd(res, g):
     si = flat_i[order]
     sg = flat_g[order]
 
+    # grad[p] = e[p] - e[p-1] where e[p] = cs[last sorted position with
+    # id <= p]: the inclusive cumsum read at each point's segment END —
+    # adjacent differencing then isolates the segment sums and gives absent
+    # points an exact 0.  ONE full-size row gather (e), vs the previous
+    # formulation's two (`base = cs[seg_start-1]` for all M rows, then
+    # `val[pos_of]`).  end_pos comes from a 1-ch scatter-max + cummax.
     cs = jnp.cumsum(sg, axis=0)                              # [M, F]
     pos = jnp.arange(m, dtype=jnp.int32)
-    head = jnp.concatenate([jnp.ones(1, bool), si[1:] != si[:-1]])
-    seg_start = jax.lax.cummax(jnp.where(head, pos, -1))
-    base = jnp.where((seg_start > 0)[:, None],
-                     cs[jnp.maximum(seg_start - 1, 0)], 0.0)
-    val = cs - base                                          # segment sums
-    last = jnp.concatenate([si[1:] != si[:-1], jnp.ones(1, bool)])
-    pos_of = jnp.full((n,), m, jnp.int32).at[
-        jnp.where(last, si, n)].set(pos, mode="drop")
-    found = pos_of < m
-    grad = jnp.where(found[:, None], val[jnp.minimum(pos_of, m - 1)], 0.0)
+    end_pos = jnp.full((n,), -1, jnp.int32).at[si].max(
+        pos, mode="drop")                                    # [n]
+    end_pos = jax.lax.cummax(end_pos)
+    e = jnp.where((end_pos >= 0)[:, None],
+                  cs[jnp.maximum(end_pos, 0)], 0.0)          # [n, F]
+    grad = e - jnp.concatenate([jnp.zeros_like(e[:1]), e[:-1]], axis=0)
     idx_ct = np.zeros(idx.shape, dtype=jax.dtypes.float0)
     return grad, idx_ct
 

@@ -59,6 +59,36 @@ def make_batch(cfg, seed=1):
     return batch
 
 
+class TestGatherRowsVJP:
+    def test_matches_scatter_add_ground_truth(self):
+        """The sorted-cumsum custom VJP of the stacked attribute gather must
+        equal XLA's scatter-add gradient of a plain table[idx] gather, with
+        duplicate indices, absent rows, and zero-cotangent slots."""
+        rng = np.random.default_rng(7)
+        n, f = 97, 6
+        table = jnp.asarray(rng.normal(size=(n, f)).astype(np.float32))
+        # duplicates + many absent rows + index 0 repeated (the clamp target)
+        idx = jnp.asarray(rng.integers(0, n, size=(11, 4, 3)).astype(np.int32))
+        idx = idx.at[0].set(0)
+        ct = jnp.asarray(rng.normal(size=(11, 4, 3, f)).astype(np.float32))
+        ct = ct.at[3].set(0.0)
+
+        def via_custom(t):
+            return jnp.sum(npts._gather_rows(t, idx) * ct)
+
+        def via_plain(t):
+            return jnp.sum(t[idx] * ct)
+
+        g_custom = jax.grad(via_custom)(table)
+        g_plain = jax.grad(via_plain)(table)
+        np.testing.assert_allclose(np.asarray(g_custom), np.asarray(g_plain),
+                                   rtol=2e-4, atol=1e-5)
+        # absent rows get an exact zero (not cancellation noise)
+        present = np.zeros(n, bool)
+        present[np.asarray(idx).reshape(-1)] = True
+        assert np.all(np.asarray(g_custom)[~present] == 0.0)
+
+
 class TestAggregatorUnits:
     def test_gradient_clamp_straight_through(self):
         f = lambda c: jnp.sum(agg.gradient_clamp(c) * 2.0)
