@@ -50,6 +50,13 @@ def bench_config():
         points=C.PointsConfig(num_points=NUM_POINTS),
         image_hw=(480, 640),
     )
+    # experiment knob (tools use this for A/B runs; default is the shipped
+    # config's f32)
+    import dataclasses
+    import os
+    cdt = os.environ.get("BENCH_COMPUTE_DTYPE")
+    if cdt:
+        cfg = cfg.replace(agg=dataclasses.replace(cfg.agg, compute_dtype=cdt))
     return cfg
 
 

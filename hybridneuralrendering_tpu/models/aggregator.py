@@ -492,15 +492,30 @@ def apply(params: Dict, cfg: AggregatorConfig, *,
                                     train=train)
             merged = fused.reshape(R, SR, -1)[..., :aux_c]
         else:
-            fw_in = [img_feat,
-                     jnp.broadcast_to(
-                         color_feature[None],
-                         (V, R, SR, color_feature.shape[-1]))]
+            # first layer split over the concat parts: W1 @ [img_feat |
+            # color_feature | dv] = img_feat @ W1a + color_feature @ W1b
+            # + dv @ W1c — the view-independent color_feature term computes
+            # once at [R,SR,·] and broadcast-adds, skipping the [V,R,SR,176]
+            # concat + broadcast materialization (same math, f32 add order)
+            fl = params["fusion_weight"]
+            w1, b1 = fl[0]["w"], fl[0]["b"]
+            c0 = img_feat.shape[-1]
+            c1 = color_feature.shape[-1]
+
+            def dot(x, w):
+                if cdt is not None:
+                    return jax.lax.dot_general(
+                        x.astype(cdt), w.astype(cdt),
+                        (((x.ndim - 1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                return x @ w
+            y = dot(img_feat, w1[:c0])
+            y = y + (dot(color_feature, w1[c0:c0 + c1]) + b1)[None]
             if cfg.use_delta_view:
-                fw_in.append(delta_viewdir_n)
+                y = y + dot(delta_viewdir_n, w1[c0 + c1:])
+            y = mlp.activation(cfg.act_type)(y)
             fusion_w = jax.nn.sigmoid(mlp.mlp_apply(
-                params["fusion_weight"], jnp.concatenate(fw_in, axis=-1),
-                cfg.act_type, compute_dtype=cdt))                 # [V,R,SR,1]
+                fl[1:], y, cfg.act_type, compute_dtype=cdt))      # [V,R,SR,1]
             fusion_w = fusion_w * valid[..., None].astype(f32)
             if cfg.downweight_blurry_feats and frame_weight_n is not None:
                 fusion_w = fusion_w * frame_weight_n[:, None, None, None]
