@@ -401,6 +401,12 @@ def apply(params: Dict, cfg: AggregatorConfig, *,
             dists_enc = positional_encoding(dists_flat, abs(cfg.dist_xyz_freq))
         else:
             dists_enc = dists_flat
+        # NOTE: first-layer splits (mlp_apply_split) were bench-tested here
+        # for block1/block3 and LOST (21859 -> 20145 rays/s): the small part
+        # widths (32/66-ch contractions) waste the MXU, while XLA already
+        # folds these same-leading-shape concats efficiently.  The split only
+        # pays off for the fusion MLP below, where it removes a broadcast
+        # across the V axis.
         feat = sampled_embedding
         if cfg.num_feat_freqs > 0:
             feat = jnp.concatenate(
@@ -492,30 +498,15 @@ def apply(params: Dict, cfg: AggregatorConfig, *,
                                     train=train)
             merged = fused.reshape(R, SR, -1)[..., :aux_c]
         else:
-            # first layer split over the concat parts: W1 @ [img_feat |
-            # color_feature | dv] = img_feat @ W1a + color_feature @ W1b
-            # + dv @ W1c — the view-independent color_feature term computes
-            # once at [R,SR,·] and broadcast-adds, skipping the [V,R,SR,176]
-            # concat + broadcast materialization (same math, f32 add order)
-            fl = params["fusion_weight"]
-            w1, b1 = fl[0]["w"], fl[0]["b"]
-            c0 = img_feat.shape[-1]
-            c1 = color_feature.shape[-1]
-
-            def dot(x, w):
-                if cdt is not None:
-                    return jax.lax.dot_general(
-                        x.astype(cdt), w.astype(cdt),
-                        (((x.ndim - 1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32)
-                return x @ w
-            y = dot(img_feat, w1[:c0])
-            y = y + (dot(color_feature, w1[c0:c0 + c1]) + b1)[None]
+            # first-layer split: the view-independent color_feature term
+            # computes once at [1,R,SR,·] and broadcast-adds — no
+            # [V,R,SR,176] concat + broadcast materialization
+            fw_parts = [img_feat, color_feature[None]]
             if cfg.use_delta_view:
-                y = y + dot(delta_viewdir_n, w1[c0 + c1:])
-            y = mlp.activation(cfg.act_type)(y)
-            fusion_w = jax.nn.sigmoid(mlp.mlp_apply(
-                fl[1:], y, cfg.act_type, compute_dtype=cdt))      # [V,R,SR,1]
+                fw_parts.append(delta_viewdir_n)
+            fusion_w = jax.nn.sigmoid(mlp.mlp_apply_split(
+                params["fusion_weight"], fw_parts, cfg.act_type,
+                compute_dtype=cdt))                               # [V,R,SR,1]
             fusion_w = fusion_w * valid[..., None].astype(f32)
             if cfg.downweight_blurry_feats and frame_weight_n is not None:
                 fusion_w = fusion_w * frame_weight_n[:, None, None, None]

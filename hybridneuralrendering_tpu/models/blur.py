@@ -171,7 +171,15 @@ def blur_bank_update(rendered: jnp.ndarray, gt: jnp.ndarray,
 def learnable_blur_update(params: Dict, cfg: AggregatorConfig,
                           rendered: jnp.ndarray, gt: jnp.ndarray,
                           patch_num: int, patch_size: int) -> jnp.ndarray:
-    """Degrade `rendered` with per-patch MLP-predicted kernels."""
+    """Degrade `rendered` with per-patch MLP-predicted kernels.
+
+    Ports the reference's `faster_version` path exactly
+    (base_rendering_model.py:893-933): kernel norm 0 = sum-normalize, any
+    other value = softmax (those are the only two the reference implements
+    there); kernel mode 0 = no identity mixing (falls through the `== 4`
+    check below, like the reference's `pass`), mode 4 = identity-kernel mix;
+    boundary modes 0/1/2 as in the reference, others raise (the reference
+    also raises NotImplementedError for them)."""
     K = cfg.learnable_blur_kernel_size
     rp = to_patches(rendered, patch_num, patch_size)      # [P, ps, ps, 3]
     gp = to_patches(gt, patch_num, patch_size)

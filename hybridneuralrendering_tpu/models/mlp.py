@@ -92,6 +92,41 @@ def mlp_apply(layers: List[Dict], x: jnp.ndarray, act: str,
     return x
 
 
+def mlp_apply_split(layers: List[Dict], parts: List[jnp.ndarray], act: str,
+                    final_act: bool = False,
+                    compute_dtype=None) -> jnp.ndarray:
+    """mlp_apply over concat(parts, axis=-1) WITHOUT materializing the
+    concat: the first layer's weight splits by input rows, one part matmul
+    each, summed.  Parts broadcast against each other over leading dims
+    (a view-independent part can ride at [R,SR,·] against [V,R,SR,·]
+    siblings).  Same math as mlp_apply-on-concat up to f32 addition order.
+    """
+    w0, b0 = layers[0]["w"], layers[0]["b"]
+
+    def dot(x, w):
+        if compute_dtype is not None:
+            return jax.lax.dot_general(
+                x.astype(compute_dtype), w.astype(compute_dtype),
+                (((x.ndim - 1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        return x @ w
+
+    o = 0
+    y = None
+    for p in parts:
+        c = p.shape[-1]
+        t = dot(p, w0[o:o + c])
+        y = t if y is None else y + t
+        o += c
+    assert o == w0.shape[0], (o, w0.shape)
+    y = y + b0
+    if final_act or len(layers) > 1:
+        y = activation(act)(y)
+    if len(layers) == 1:
+        return y
+    return mlp_apply(layers[1:], y, act, final_act, compute_dtype)
+
+
 def conv2d_init(key, in_ch: int, out_ch: int, ksize: int,
                 gain: float = 1.0) -> Dict:
     kw, kb = jax.random.split(key)
