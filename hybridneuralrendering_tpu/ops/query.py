@@ -197,10 +197,16 @@ def query_points(grid: PointGrid, xyz: jnp.ndarray, campos: jnp.ndarray,
         raypos, _, tvals = ray_gen.near_far_linear(
             campos, raydir, D, near, far, jitter, key)        # [R, D, 3]
 
-    # 2. cull candidates by dilated occupancy (mask_raypos, :384-408)
+    # 2. cull candidates by dilated occupancy (mask_raypos, :384-408);
+    #    bit-packed table when available — 8x smaller random-access target
     cand_vid = linearize(voxel_coords(raypos, grid.geom), grid.geom, cap)
-    occ_hit = grid.occ_dilated.at[cand_vid].get(
-        mode="fill", fill_value=0) > 0                        # [R, D]
+    if grid.occ_bits is not None:
+        word = grid.occ_bits.at[cand_vid >> 5].get(
+            mode="fill", fill_value=0)
+        occ_hit = ((word >> (cand_vid & 31)) & 1) > 0         # [R, D]
+    else:
+        occ_hit = grid.occ_dilated.at[cand_vid].get(
+            mode="fill", fill_value=0) > 0                    # [R, D]
 
     # 3. keep first SR hits per ray (cumsum compaction, :645-656).
     #    The reference scatters hits into their slots; on TPU both the

@@ -87,7 +87,12 @@ def query_points_pers(grid: VG.PointGrid, xyz_w: jnp.ndarray,
     raypos = w2pers(raypos_w, camrotc2w, campos)              # [R, D, 3] pers
 
     cand_vid = VG.linearize(VG.voxel_coords(raypos, grid.geom), grid.geom, cap)
-    occ_hit = grid.occ_dilated.at[cand_vid].get(mode="fill", fill_value=0) > 0
+    if grid.occ_bits is not None:
+        word = grid.occ_bits.at[cand_vid >> 5].get(mode="fill", fill_value=0)
+        occ_hit = ((word >> (cand_vid & 31)) & 1) > 0
+    else:
+        occ_hit = grid.occ_dilated.at[cand_vid].get(
+            mode="fill", fill_value=0) > 0
 
     cum = jnp.cumsum(occ_hit.astype(jnp.int32), axis=-1)
     targets = jnp.arange(1, SR + 1, dtype=jnp.int32)

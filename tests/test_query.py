@@ -51,6 +51,19 @@ class TestVoxelGrid:
         except ValueError:
             pass
 
+    def test_occ_bits_matches_occ_dilated(self):
+        """Bit-packed cull table agrees with the dense i8 table bit-for-bit."""
+        cfg = small_cfg()
+        xyz = make_cloud(500)
+        mask = np.ones(len(xyz), bool)
+        geom = VG.compute_grid_geometry(xyz, mask, cfg)
+        grid = VG.build_grid(jnp.asarray(xyz), jnp.asarray(mask), geom, cfg)
+        dense = np.asarray(grid.occ_dilated).astype(np.int64)
+        bits = np.asarray(grid.occ_bits)
+        vids = np.arange(len(dense))
+        unpacked = (bits[vids >> 5] >> (vids & 31)) & 1
+        np.testing.assert_array_equal(unpacked, dense)
+
     def test_tables_consistent(self):
         cfg = small_cfg()
         xyz = make_cloud(800)
