@@ -123,6 +123,8 @@ def _gather_rows_bwd(res, g):
     m = int(np.prod(idx.shape))
     flat_i = idx.reshape(-1).astype(jnp.int32)
     flat_g = g.reshape(-1, g.shape[-1])
+    # stable sort: keeps the backward bit-deterministic (unstable measured
+    # bench-neutral, 22169 vs 22136 — no reason to give up reproducibility)
     order = jnp.argsort(flat_i)
     si = flat_i[order]
     sg = flat_g[order]
