@@ -30,13 +30,14 @@ def render_full_frame(params, points, grid, dataset, frame_idx, cfg):
     from hybridneuralrendering_tpu.data import sampling
     from hybridneuralrendering_tpu.train import step as step_mod
     H, W = dataset.height, dataset.width
-    chunk = cfg.sampling.rays_per_batch
+    chunk = cfg.sampling.eval_rays
     pix = sampling.full_image_grid(H, W)
     chunks, n_valid = sampling.chunk_pixels(pix, chunk)
     img = np.zeros((H * W, 3), np.float32)
     done = 0
     for ci in range(chunks.shape[0]):
         batch = dataset.get_batch(frame_idx, pixelcoords=chunks[ci][:, None, :])
+        batch = step_mod.maybe_add_bg_ray(batch, points, cfg)
         batch = step_mod.device_batch(batch)
         out = step_mod.eval_step(params, points, grid, batch, cfg)
         take = min(chunk, n_valid - done)
@@ -58,13 +59,15 @@ def main(argv=None):
     from hybridneuralrendering_tpu.utils import metrics as M
     from hybridneuralrendering_tpu.utils.visualizer import Visualizer
 
-    cfg = C.PRESETS[args.preset](args.scan) if args.preset.startswith(
-        "scannet") else C.PRESETS[args.preset]()
+    try:
+        cfg = C.PRESETS[args.preset](args.scan)
+    except TypeError:
+        cfg = C.PRESETS[args.preset]()
     name = args.name or cfg.name
     vis = Visualizer(args.checkpoints_dir, name + "_test")
     ckpt_dir = os.path.join(args.checkpoints_dir, name, "ckpt")
 
-    if args.preset.startswith("nerf"):
+    if args.preset.startswith(("nerf", "fixture_nerf")):
         from hybridneuralrendering_tpu.data.nerf_synth import NerfSynthScene
         test_ds = NerfSynthScene(args.data_root, args.scan, cfg, "test")
     else:

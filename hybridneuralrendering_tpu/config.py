@@ -157,6 +157,17 @@ class AggregatorConfig:
 
     # Hybrid rendering (image-based branch).
     use_nearest: int = 4                  # number of nearby training views fused
+    # Re-rank 1.5x nearest-view candidates by precomputed frame quality and
+    # keep the best `use_nearest` (reference scannet_ft_dataset.py:777-795;
+    # capability existed in data/nearest_views.py, now wired to config).
+    select_high_quality: bool = False
+    # Random view count per training batch (reference dynamic_nearest,
+    # scannet_ft_dataset.py:763-768: V ~ randint(2, 8) at train, 4 at test).
+    # TPU-native: the dataset always stacks `dynamic_nearest_pool` views so
+    # batch shapes stay static; unused views are masked out of the fusion via
+    # batch["view_mask"].
+    dynamic_nearest: bool = False
+    dynamic_nearest_pool: int = 8
     # Pyramid-cache sampling strategy: True materializes the 4 nearest views'
     # full-res feature maps from the cached stage maps each step (dense VPU
     # resize + ONE lane-aligned row gather); False gathers bilinear corners
@@ -217,6 +228,13 @@ class RenderConfig:
     bg_color: Tuple[float, float, float] = (1.0, 1.0, 1.0)
     near_plane: float = 0.1
     far_plane: float = 8.0
+    # 'no' | 'img_plane': plane-background compositing.  When it ends with
+    # 'plane' and the dataset provides plane_pnt/plane_normal/plane_color,
+    # drivers precompute per-ray bg colors via core/bg_plane.compute_bg_ray
+    # and the renderer composites them under the background transmission
+    # (reference --bgmodel, options/base_options.py:54; disabled in every
+    # shipped script).
+    bgmodel: str = "no"
 
 
 @dataclass(frozen=True)
@@ -253,10 +271,19 @@ class SamplingConfig:
     dilation_max: int = 8
     dilation_min: int = 1
     edge_filter: int = 10                 # margin cropped at image edges
+    # Rays per compiled chunk for full-frame eval/probe renders (0 = reuse the
+    # training batch size).  The reference picks its own test chunk
+    # (run/test_ft.py:322-329); a wide second executable cuts the ~98
+    # sequential jit calls per 480x640 frame to ~19.
+    eval_chunk_rays: int = 0
 
     @property
     def rays_per_batch(self) -> int:
         return self.random_sample_size ** 2
+
+    @property
+    def eval_rays(self) -> int:
+        return self.eval_chunk_rays or self.rays_per_batch
 
 
 @dataclass(frozen=True)
@@ -271,6 +298,10 @@ class LossConfig:
     zero_epsilon: float = 1e-3
     sparse_loss_weight: float = 0.0
     use_frame_weight: bool = False
+    # Exponent applied to the precomputed per-frame quality weight before it
+    # scales the loss (reference scannet_ft_dataset.py:756-758; published
+    # ablation knob, default 1.0 in the canonical scripts).
+    weight_exp: float = 1.0
 
 
 @dataclass(frozen=True)
@@ -358,7 +389,7 @@ def scannet_full(scan: str = "scene0241_01") -> Config:
         agg=AggregatorConfig(),
         blur=BlurConfig(add_blur_sim=True),
         loss=LossConfig(use_frame_weight=True),
-        sampling=SamplingConfig(),
+        sampling=SamplingConfig(eval_chunk_rays=16384),
     )
 
 
@@ -421,7 +452,8 @@ def nerf_synth_points(scene: str = "lego") -> Config:
         points=PointsConfig(num_points=500_000),
         agg=AggregatorConfig(use_nearest=0, drop_ratio=0.0),
         render=RenderConfig(near_plane=2.0, far_plane=6.0),
-        sampling=SamplingConfig(random_sample="random", random_sample_size=60),
+        sampling=SamplingConfig(random_sample="random", random_sample_size=60,
+                                eval_chunk_rays=16384),
         blur=BlurConfig(add_blur_sim=False),
         image_hw=(800, 800),
     )
@@ -433,7 +465,35 @@ def nerf_synth_hybrid(scene: str = "chair") -> Config:
     return cfg.replace(
         name=f"{scene}_hybrid",
         agg=AggregatorConfig(use_nearest=4, drop_ratio=0.5),
-        sampling=SamplingConfig(random_sample="dilated", random_sample_size=56),
+        sampling=SamplingConfig(random_sample="dilated", random_sample_size=56,
+                                eval_chunk_rays=16384),
+    )
+
+
+def fixture_nerf_points(scan: str = "objsim") -> Config:
+    """The nerf_synth_points pipeline (SR=80, white bg, 60x60 random rays,
+    ply bootstrap) fitted to the analytic object fixture
+    (tools/make_fixture_scene.py --layout blender): canonical NeRF-synthetic
+    workload shapes, fixture-scene geometry/capacities/resolution."""
+    base = nerf_synth_points(scan)
+    return base.replace(
+        name=f"{scan}_points",
+        querier=dataclasses.replace(
+            base.querier, ranges=(-1.0, -1.0, -1.0, 1.0, 1.0, 1.0),
+            grid_capacity=20_000_000, max_o=410_000, max_nodes=2_500_000),
+        image_hw=(400, 400),
+    )
+
+
+def fixture_nerf_hybrid(scan: str = "objsim") -> Config:
+    """nerf_synth_hybrid (SR=80, dilated rays, 4-view fusion) on the object
+    fixture."""
+    base = fixture_nerf_points(scan)
+    return base.replace(
+        name=f"{scan}_hybrid",
+        agg=AggregatorConfig(use_nearest=4, drop_ratio=0.5),
+        sampling=SamplingConfig(random_sample="dilated", random_sample_size=56,
+                                eval_chunk_rays=16384),
     )
 
 
@@ -487,6 +547,8 @@ PRESETS = {
     "scannet_vangoroom": scannet_vangoroom,
     "nerf_synth_points": nerf_synth_points,
     "nerf_synth_hybrid": nerf_synth_hybrid,
+    "fixture_nerf_points": fixture_nerf_points,
+    "fixture_nerf_hybrid": fixture_nerf_hybrid,
     "fixture_room": fixture_room,
     "tiny": tiny_test,
 }

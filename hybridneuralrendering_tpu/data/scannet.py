@@ -188,15 +188,31 @@ class ScannetScene:
 
         if self.cfg.loss.use_frame_weight and self.split == "train":
             widx = self.train_id_list.index(vid)
-            batch["frame_weight"] = np.float32(self.train_weight_list[widx])
+            # weight_exp sharpens/flattens the quality weighting
+            # (scannet_ft_dataset.py:756-758)
+            batch["frame_weight"] = np.float32(
+                self.train_weight_list[widx] ** self.cfg.loss.weight_exp)
 
         V = self.cfg.agg.use_nearest
+        if V > 0 and self.cfg.agg.dynamic_nearest:
+            # dynamic view count (scannet_ft_dataset.py:763-768): the
+            # reference re-selects V ~ randint(2, 8) nearest views per train
+            # batch; here the stack is a static `dynamic_nearest_pool` so the
+            # compiled step never changes shape, and the unused tail is
+            # masked out of the fusion via view_mask.
+            pool = self.cfg.agg.dynamic_nearest_pool
+            n_used = int(rng.integers(2, 8)) if self.split == "train" else V
+            n_used = min(n_used, pool)
+            batch["view_mask"] = (np.arange(pool) < n_used).astype(np.float32)
+            V = pool
         if V > 0:
             near_ids = nearest_views.nearest_by_frame_id(
                 self.train_id_list, vid, V,
                 frame_weights=self.train_weight_list,
-                select_high_quality=False,
+                select_high_quality=self.cfg.agg.select_high_quality,
                 exclude_self=self.split == "train")
+            if len(near_ids) < V:   # short scene: cycle to the static V
+                near_ids = np.resize(near_ids, V)
             imgs, c2ws, poss, fws = [], [], [], []
             for nv in near_ids:
                 imgs.append(self.image(nv))

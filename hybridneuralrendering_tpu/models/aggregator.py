@@ -307,6 +307,7 @@ def apply(params: Dict, cfg: AggregatorConfig, *,
           sample_loc_i_n: Optional[jnp.ndarray] = None,
           delta_viewdir_n: Optional[jnp.ndarray] = None,
           frame_weight_n: Optional[jnp.ndarray] = None,
+          view_mask: Optional[jnp.ndarray] = None,
           drop_mask: Optional[jnp.ndarray] = None,
           sampled_rw2c: Optional[jnp.ndarray] = None,
           train: bool = False) -> AggOutput:
@@ -459,6 +460,10 @@ def apply(params: Dict, cfg: AggregatorConfig, *,
         px = sample_loc_i_n[..., 0].astype(jnp.int32)            # [V, R, SR]
         py = sample_loc_i_n[..., 1].astype(jnp.int32)
         valid = ((px >= 0) & (px < W) & (py >= 0) & (py < H))
+        if view_mask is not None:
+            # dynamic_nearest: unused tail of the static view stack carries
+            # zero fusion weight (scannet_ft_dataset.py:763-768 semantics)
+            valid = valid & (view_mask > 0)[:, None, None]
         pxc, pyc = jnp.clip(px, 0, W - 1), jnp.clip(py, 0, H - 1)
         vidx = jnp.arange(V)[:, None, None]
         if img_feat_staged is not None:

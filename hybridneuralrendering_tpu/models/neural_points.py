@@ -135,7 +135,7 @@ def _gather_rows_bwd(res, g):
     # points an exact 0.  ONE full-size row gather (e), vs the previous
     # formulation's two (`base = cs[seg_start-1]` for all M rows, then
     # `val[pos_of]`).  end_pos comes from a 1-ch scatter-max + cummax.
-    # NOTE: a single-pass Pallas cumsum (ops/pallas_scan.py) was bench-tested
+    # NOTE: a single-pass Pallas cumsum (tools/pallas_scan.py) was bench-tested
     # here and LOST badly (21144 -> 16532 rays/s): the 1176-step sequential
     # carry grid defeats Mosaic's DMA pipelining.  XLA's log-pass cumsum
     # stays.

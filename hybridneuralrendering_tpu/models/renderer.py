@@ -127,6 +127,7 @@ def render(params: Dict, points: npts.NeuralPoints, grid: PointGrid,
         img_feat_n=img_feat_n, img_feat_staged=img_feat_staged,
         sample_loc_i_n=sample_loc_i_n,
         delta_viewdir_n=delta_vd_n, frame_weight_n=frame_w_n,
+        view_mask=batch.get("view_mask"),
         drop_mask=drop_mask, sampled_rw2c=sampled.rw2c))
 
     # per-sample marching distance from perspective depth (:331-339)
@@ -135,11 +136,19 @@ def render(params: Dict, points: npts.NeuralPoints, grid: PointGrid,
         rcfg.raydist_mode_unit)
 
     bg_color = batch.get("bg_color", jnp.asarray(rcfg.bg_color))
+    bg_ray = batch.get("bg_ray")
+    if bg_ray is not None:
+        # plane-background compositing (neural_points_volumetric_model.py:
+        # 103-105 + :345-347): march with no constant background, then add
+        # the per-ray plane color under the background transmission
+        bg_color = None
     (ray_color, point_color, opacity, acc_trans, blend_weight, bg_trans,
      _) = march.ray_march(
         ray_dist, out.ray_valid, out.features,
         march.get_render_func(rcfg.which_render_func),
         march.get_blend_func(rcfg.which_blend_func), bg_color)
+    if bg_ray is not None:
+        ray_color = ray_color + bg_trans * bg_ray
     ray_color = march.get_tonemap_func(rcfg.which_tonemap_func)(ray_color)
 
     output = {

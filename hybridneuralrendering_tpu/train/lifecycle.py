@@ -65,7 +65,7 @@ def probe_frame(params, points, grid, dataset, frame_idx: int, cfg: Config
     """Render one full frame in fixed-size chunks with prob outputs, scattered
     back into image maps (probe_hole's chunked loop, train_ft.py:507-526)."""
     H, W = dataset.height, dataset.width
-    chunk = cfg.sampling.rays_per_batch
+    chunk = cfg.sampling.eval_rays
     pix = sampling.full_image_grid(H, W, cfg.sampling.edge_filter)
     chunks, n_valid = sampling.chunk_pixels(pix, chunk)
 

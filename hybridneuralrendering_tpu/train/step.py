@@ -39,6 +39,30 @@ def device_batch(batch: Dict) -> Dict:
     return {k: v for k, v in batch.items() if k not in HOST_KEYS}
 
 
+def maybe_add_bg_ray(batch: Dict, points, cfg: Config) -> Dict:
+    """Plane-background preprocessing (reference run/train_ft.py:972-980 /
+    run/test_ft.py:88-97): when `bgmodel` ends with 'plane' and the dataset
+    supplies plane metadata, replace the plane keys with a per-ray `bg_ray`
+    color map computed from the nearest-view stack; the renderer then
+    composites it under the background transmission."""
+    if (not cfg.render.bgmodel.endswith("plane")
+            or "plane_pnt" not in batch or "images_nearest" not in batch):
+        return batch
+    import numpy as np
+
+    from hybridneuralrendering_tpu.core import bg_plane
+    w2cs = jnp.linalg.inv(jnp.asarray(batch["c2w_nearest"]))
+    bg = bg_plane.compute_bg_ray(
+        jnp.asarray(batch["campos"]), jnp.asarray(batch["raydir"]),
+        jnp.asarray(batch["plane_pnt"]), jnp.asarray(batch["plane_normal"]),
+        jnp.asarray(batch["plane_color"]),
+        jnp.asarray(batch["images_nearest"]), w2cs,
+        jnp.asarray(batch["intrinsic_nearest"]), points.xyz, points.mask)
+    out = {k: v for k, v in batch.items() if not k.startswith("plane_")}
+    out["bg_ray"] = bg
+    return out
+
+
 def forward_with_blur(params: Dict, points, grid: PointGrid, batch: Dict,
                       cfg: Config, key, blur_kernels: Optional[jnp.ndarray],
                       train: bool,

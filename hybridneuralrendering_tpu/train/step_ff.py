@@ -126,3 +126,25 @@ def train_step_ff(ff_state: FFTrainState, group: Dict, ray_batch: Dict,
     return FFTrainState(step=ff_state.step + 1, params=params,
                         mvs_params=mvs_params, opt_state_net=os_net,
                         opt_state_mvs=os_mvs), items
+
+
+def save_ff_checkpoint(ckpt_dir: str, ffs: FFTrainState) -> str:
+    """Single-file .npz of the feed-forward state (flattened pytree leaves;
+    same style as train/checkpoint.py for the per-scene state)."""
+    import os
+
+    import numpy as np
+    os.makedirs(ckpt_dir, exist_ok=True)
+    leaves = jax.tree_util.tree_leaves(ffs)
+    path = os.path.join(ckpt_dir, f"ff_{int(ffs.step):08d}.npz")
+    np.savez(path, *[np.asarray(l) for l in leaves])
+    return path
+
+
+def load_ff_checkpoint(path: str, template: FFTrainState) -> FFTrainState:
+    import numpy as np
+    data = np.load(path)
+    leaves = [data[k] for k in data.files]
+    treedef = jax.tree_util.tree_structure(template)
+    return jax.tree_util.tree_unflatten(
+        treedef, [jnp.asarray(l) for l in leaves])

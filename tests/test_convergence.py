@@ -181,3 +181,84 @@ class TestHybridConvergence:
         psnr0 = -10 * np.log10(max(first, 1e-10))
         psnr1 = -10 * np.log10(max(last, 1e-10))
         assert psnr1 > psnr0 + 5.0, (psnr0, psnr1)
+
+
+class TestPyramidCacheStaleness:
+    def test_cached_schedule_matches_uncached_convergence(self):
+        """The pyramid cache trades CNN freshness for speed: between bursts
+        the fusion consumes stage maps from CNN params up to a cycle old
+        (cli/train.py schedule).  On the consistent wall scene, training
+        under a scaled-down burst/cycle schedule must converge like the
+        always-uncached reference semantics — bounding the staleness effect
+        (VERDICT r2 #9)."""
+        import dataclasses
+        burst, cycle = 4, 16
+
+        def run(use_cache_schedule):
+            cfg = make_cfg()
+            cfg = cfg.replace(agg=dataclasses.replace(
+                cfg.agg, use_nearest=2, drop_ratio=0.0))
+            H, W = cfg.image_hw
+            intr = np.array([[40.0, 0, W / 2], [0, 40.0, H / 2], [0, 0, 1]],
+                            np.float32)
+            rng = np.random.default_rng(0)
+            n = 3000
+            xyz = np.stack([rng.uniform(-1, 1, n), rng.uniform(-1, 1, n),
+                            np.full(n, 2.0) + rng.normal(0, 0.005, n)],
+                           -1).astype(np.float32)
+            points = npts.init_from_arrays(
+                xyz, cfg.points, color=wall_color(xyz),
+                dirs=np.tile([[0, 0, 1.0]], (n, 1)),
+                key=jax.random.PRNGKey(0))
+            geom = VG.compute_grid_geometry(xyz, np.ones(n, bool),
+                                            cfg.querier)
+            grid = VG.build_grid(points.xyz, points.mask, geom, cfg.querier)
+            params = renderer.init_params(jax.random.PRNGKey(0), cfg)
+            ts = state_mod.create_train_state(params, points, cfg)
+            kernels = jnp.asarray(blur_mod.generate_kernel_bank(cfg.blur))
+
+            near_c2ws = []
+            for dx in (-0.3, 0.3):
+                c2w = np.eye(4, dtype=np.float32)
+                c2w[0, 3] = dx
+                near_c2ws.append(c2w)
+            near_imgs = jnp.asarray(np.stack(
+                [render_wall_image(cfg, c, intr) for c in near_c2ws]))
+            campos_pool = [np.array([0.3 * i - 0.6, 0.1 * i - 0.2, 0.0],
+                                    np.float32) for i in range(5)]
+            staged = None
+            tail = []
+            for i in range(120):
+                batch = make_batch(cfg, rng, campos_pool[i % len(campos_pool)])
+                batch.update({
+                    "images_nearest": near_imgs,
+                    "c2w_nearest": jnp.asarray(np.stack(near_c2ws)),
+                    "campos_nearest": jnp.asarray(
+                        np.stack([c[:3, 3] for c in near_c2ws])),
+                    "intrinsic_nearest": jnp.asarray(intr),
+                    "frame_weight_nearest": jnp.ones(2),
+                })
+                in_burst = (i % cycle) < burst
+                if not use_cache_schedule or in_burst:
+                    staged = None
+                    ts, items = step_mod.train_step(
+                        ts, grid, batch, jax.random.PRNGKey(i), kernels, cfg)
+                else:
+                    if staged is None:   # burst just ended: refresh cache
+                        stages = renderer.compute_image_feature_stages(
+                            ts.params, cfg, near_imgs)
+                        staged = (near_imgs, tuple(stages))
+                    ts, items = step_mod.train_step(
+                        ts, grid, batch, jax.random.PRNGKey(i), kernels, cfg,
+                        staged)
+                if i >= 110:
+                    tail.append(float(
+                        items["loss_ray_masked_coarse_raycolor"]))
+            return float(np.mean(tail))
+
+        loss_fresh = run(False)
+        loss_cached = run(True)
+        psnr_fresh = -10 * np.log10(max(loss_fresh, 1e-10))
+        psnr_cached = -10 * np.log10(max(loss_cached, 1e-10))
+        # staleness must cost at most ~2 dB on this scene
+        assert psnr_cached > psnr_fresh - 2.0, (psnr_fresh, psnr_cached)

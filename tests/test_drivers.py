@@ -114,3 +114,41 @@ class TestScanNetFlythrough:
         imgs = os.listdir(os.path.join(root, "flythrough_test", "images"))
         assert sum(f.endswith(".png") for f in imgs) >= 2
         assert out is None or os.path.exists(out)
+
+
+class TestFeedForwardDriver:
+    def test_train_mode_ff_runs_and_checkpoints(self, tmp_path):
+        """`--train-mode ff` drives train/step_ff end-to-end from the CLI
+        (reference feed-forward mode, mvs_points_volumetric_model.py:49-152;
+        VERDICT r2 #8)."""
+        from PIL import Image
+
+        from hybridneuralrendering_tpu.cli import train as train_cli
+
+        root = tmp_path / "scans"
+        scan = "scene_ff"
+        base = root / scan / "exported"
+        for sub in ("color", "pose", "intrinsic"):
+            os.makedirs(base / sub, exist_ok=True)
+        H, W = 48, 64
+        intr = np.array([[40.0, 0, W / 2], [0, 40.0, H / 2], [0, 0, 1]])
+        intr4 = np.block([[intr, np.zeros((3, 1))], [np.zeros((1, 3)), 1]])
+        np.savetxt(base / "intrinsic/intrinsic_color.txt", intr4)
+        np.savetxt(base / "intrinsic/intrinsic_depth.txt", intr4)
+        rng = np.random.default_rng(0)
+        for i in range(12):
+            c2w = np.eye(4)
+            c2w[0, 3] = 0.05 * i
+            np.savetxt(base / f"pose/{i}.txt", c2w)
+            Image.fromarray(rng.uniform(0, 255, (H, W, 3)).astype(np.uint8)
+                            ).save(base / f"color/{i}.jpg")
+
+        ckdir = tmp_path / "ckpts"
+        train_cli.main([
+            "--preset", "tiny", "--data-root", str(root), "--scan", scan,
+            "--checkpoints-dir", str(ckdir), "--train-mode", "ff",
+            "--max-steps", "2", "--mvs-num-depths", "8", "--save-freq", "2",
+            "--name", "fftest"])
+        ff_ckpts = [f for f in os.listdir(ckdir / "fftest" / "ckpt")
+                    if f.startswith("ff_")]
+        assert ff_ckpts, "feed-forward checkpoint not written"

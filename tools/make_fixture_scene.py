@@ -96,13 +96,155 @@ def camera_path(n):
     return poses
 
 
+# ---------------------------------------------------------------------------
+# Blender-layout object fixture (NeRF-synthetic stand-in): a textured sphere
+# and box near the origin, orbited by cameras at radius 4 — the lego/chair
+# workload geometry (near=2, far=6, white bg, RGBA renders, fused.ply cloud).
+# ---------------------------------------------------------------------------
+
+SPH_C = np.array([0.0, 0.0, 0.25])
+SPH_R = 0.45
+BOX_LO = np.array([-0.55, -0.55, -0.6])
+BOX_HI = np.array([0.55, 0.55, -0.25])
+
+
+def _sphere_hit(campos, dirs):
+    oc = campos - SPH_C
+    b = dirs @ oc
+    c = oc @ oc - SPH_R ** 2
+    disc = b * b - c
+    t = -b - np.sqrt(np.maximum(disc, 0.0))
+    return np.where((disc > 0) & (t > 1e-3), t, np.inf)
+
+
+def _box_hit(campos, dirs):
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t0 = (BOX_LO - campos) / dirs
+        t1 = (BOX_HI - campos) / dirs
+    tmin = np.max(np.minimum(t0, t1), axis=-1)
+    tmax = np.min(np.maximum(t0, t1), axis=-1)
+    hit = (tmax >= np.maximum(tmin, 1e-3))
+    return np.where(hit, tmin, np.inf)
+
+
+def _object_color(p, normal):
+    """Smooth position-based texture + simple lambertian shading."""
+    base = 0.5 + 0.45 * np.stack([
+        np.sin(6.0 * p[..., 0]) * np.cos(4.0 * p[..., 1]),
+        np.sin(5.0 * p[..., 1] + 1.0) * np.cos(3.0 * p[..., 2]),
+        np.sin(4.0 * p[..., 2] + 2.0) * np.cos(5.0 * p[..., 0])], -1)
+    light = np.asarray([0.4, 0.3, 0.85])
+    lam = 0.55 + 0.45 * np.clip((normal * light).sum(-1), 0, 1)
+    return np.clip(base * lam[..., None], 0, 1)
+
+
+def raycast_object(campos, camrot, intrinsic, H, W):
+    """First-hit over sphere+box -> (rgb [H,W,3], alpha [H,W])."""
+    ys, xs = np.mgrid[0:H, 0:W]
+    pix = np.stack([xs + 0.5, ys + 0.5, np.ones_like(xs)], -1).astype(np.float64)
+    dirs = (pix @ np.linalg.inv(intrinsic).T) @ camrot.T
+    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+    ts = _sphere_hit(campos, dirs)
+    tb = _box_hit(campos, dirs)
+    t = np.minimum(ts, tb)
+    hit = np.isfinite(t)
+    p = campos + dirs * np.where(hit, t, 0.0)[..., None]
+    n_sph = (p - SPH_C) / SPH_R
+    ctr = (BOX_LO + BOX_HI) / 2
+    ext = (BOX_HI - BOX_LO) / 2
+    rel = (p - ctr) / ext
+    ax = np.argmax(np.abs(rel), axis=-1)
+    n_box = np.eye(3)[ax] * np.sign(
+        np.take_along_axis(rel, ax[..., None], -1))
+    normal = np.where((ts < tb)[..., None], n_sph, n_box)
+    rgb = _object_color(p, normal)
+    rgb = np.where(hit[..., None], rgb, 1.0)
+    return rgb, hit.astype(np.float32)
+
+
+def sample_object_surface(n, rng):
+    """Point cloud on the sphere/box surfaces (COLMAP fused.ply stand-in)."""
+    ns = n // 2
+    v = rng.normal(size=(ns, 3))
+    v /= np.linalg.norm(v, axis=-1, keepdims=True)
+    sph = SPH_C + SPH_R * v
+    nb = n - ns
+    face = rng.integers(0, 6, nb)
+    uv = rng.uniform(0, 1, (nb, 2))
+    box = np.empty((nb, 3))
+    ext = BOX_HI - BOX_LO
+    for f in range(6):
+        m = face == f
+        a, b_ = [(1, 2), (1, 2), (0, 2), (0, 2), (0, 1), (0, 1)][f]
+        fixed = f % 2
+        pts = np.empty((m.sum(), 3))
+        pts[:, f // 2] = BOX_LO[f // 2] + fixed * ext[f // 2]
+        pts[:, a] = BOX_LO[a] + uv[m, 0] * ext[a]
+        pts[:, b_] = BOX_LO[b_] + uv[m, 1] * ext[b_]
+        box[m] = pts
+    return np.concatenate([sph, box]).astype(np.float32)
+
+
+def write_ply(path, xyz):
+    with open(path, "wb") as f:
+        f.write((f"ply\nformat binary_little_endian 1.0\n"
+                 f"element vertex {len(xyz)}\n"
+                 "property float x\nproperty float y\nproperty float z\n"
+                 "end_header\n").encode())
+        f.write(np.ascontiguousarray(xyz, "<f4").tobytes())
+
+
+def make_blender_fixture(out, scan, n_train, n_test, H, W, seed=0):
+    import json
+
+    from PIL import Image
+
+    from hybridneuralrendering_tpu.data.nerf_synth import (BLENDER2OPENCV,
+                                                           pose_spherical)
+    root = os.path.join(out, scan)
+    rng = np.random.default_rng(seed)
+    cax = 0.6911112070083618          # lego's camera_angle_x
+    focal = 0.5 * W / np.tan(0.5 * cax)
+    intr = np.array([[focal, 0, W / 2], [0, focal, H / 2], [0, 0, 1]])
+
+    for split, n in (("train", n_train), ("test", n_test)):
+        os.makedirs(os.path.join(root, split), exist_ok=True)
+        frames = []
+        for i in range(n):
+            theta = -180 + 360.0 * (i + (0.5 if split == "test" else 0.0)) / n
+            phi = -30.0 + 12.0 * np.sin(2.1 * i + (1 if split == "test" else 0))
+            c2w_b = pose_spherical(theta, phi, 4.0).astype(np.float64)
+            c2w = c2w_b @ BLENDER2OPENCV
+            rgb, alpha = raycast_object(c2w[:3, 3], c2w[:3, :3], intr, H, W)
+            rgba = np.concatenate([rgb, alpha[..., None]], -1)
+            Image.fromarray((rgba * 255).astype(np.uint8), "RGBA").save(
+                os.path.join(root, split, f"r_{i}.png"))
+            frames.append({"file_path": f"./{split}/r_{i}",
+                           "transform_matrix": c2w_b.tolist()})
+        with open(os.path.join(root, f"transforms_{split}.json"), "w") as f:
+            json.dump({"camera_angle_x": cax, "frames": frames}, f)
+        print(f"{split}: {n} frames")
+
+    write_ply(os.path.join(root, "fused.ply"),
+              sample_object_surface(60_000, rng))
+    print(f"wrote blender fixture to {root}")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", required=True)
     ap.add_argument("--scan", default="roomsim")
     ap.add_argument("--frames", type=int, default=40)
+    ap.add_argument("--test-frames", type=int, default=10)
     ap.add_argument("--hw", type=int, nargs=2, default=(240, 320))
+    ap.add_argument("--layout", choices=("scannet", "blender"),
+                    default="scannet")
     args = ap.parse_args()
+    if args.layout == "blender":
+        H, W = args.hw
+        make_blender_fixture(args.out, args.scan, args.frames,
+                             args.test_frames, H, W)
+        return
 
     from PIL import Image
     import imageio.v2 as imageio

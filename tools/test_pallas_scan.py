@@ -3,7 +3,9 @@
 import jax.numpy as jnp
 import numpy as np
 
-from hybridneuralrendering_tpu.ops import pallas_scan as PC
+import sys, os
+sys.path.insert(0, os.path.join(os.path.dirname(__file__)))
+import pallas_scan as PC
 
 
 class TestCumsumRows:
