@@ -60,6 +60,14 @@ def bench_config():
     return cfg
 
 
+def bench_config_nerf():
+    """The NeRF-synthetic workload shapes (BASELINE.md: SR=80, 60x60=3600
+    random rays, K=8, white bg, no blur/hybrid — lego_points.sh) on the
+    synthetic plane scene."""
+    from hybridneuralrendering_tpu import config as C
+    return C.fixture_nerf_points()
+
+
 def time_steps(step_fn, ts, items_key="loss_total"):
     import jax
     for i in range(WARMUP):
@@ -130,6 +138,28 @@ def main():
     frac_unc = burst / cycle if cfg.optim.pyramid_cache else 1.0
     t_blend = frac_unc * t_unc + (1.0 - frac_unc) * t_cached
 
+    # second workload: NeRF-synthetic shapes (SR=80, 3600 random rays,
+    # remat+chunked chain) — VERDICT r2 #3.  Opt out with BENCH_SKIP_NERF=1.
+    nerf_fields = {}
+    if not os.environ.get("BENCH_SKIP_NERF"):
+        cfg_n = bench_config_nerf()
+        pts_n, grid_n = make_synthetic_scene(cfg_n, num_points=400_000)
+        batch_n = make_synthetic_batch(cfg_n)
+        params_n = renderer.init_params(jax.random.PRNGKey(0), cfg_n)
+        ts_n = state_mod.create_train_state(params_n, pts_n, cfg_n)
+
+        def step_nerf(ts, i):
+            return step_mod.train_step(
+                ts, grid_n, batch_n, jax.random.fold_in(key, i), None, cfg_n)
+
+        t_nerf, _ = time_steps(step_nerf, ts_n)
+        R_n = cfg_n.sampling.rays_per_batch
+        nerf_fields = {
+            "nerf_rays_per_s": round(float(R_n / t_nerf), 1),
+            "nerf_unit": "rays/s (fwd+bwd, NeRF-synthetic workload R=3600 "
+                         "SR=80 K=8 points-mode)",
+        }
+
     rays_per_s = R / t_blend
     print(json.dumps({
         "metric": "train_rays_per_s",
@@ -140,6 +170,7 @@ def main():
         "vs_baseline": round(float(rays_per_s / ESTIMATED_REFERENCE_RAYS_PER_S), 3),
         "uncached_rays_per_s": round(float(R / t_unc), 1),
         "cached_rays_per_s": round(float(R / t_cached), 1),
+        **nerf_fields,
     }))
 
 

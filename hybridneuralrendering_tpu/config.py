@@ -144,16 +144,23 @@ class AggregatorConfig:
     # f32 master weights; 'float32' = full precision.  Measured ~neutral on
     # throughput (the step is gather/memory-bound), so f32 stays the default.
     compute_dtype: str = "float32"
-    # Fused Pallas per-neighbor MLP chain (block1[+2]+block3+alpha head) with
-    # an on-chip recompute backward (ops/pallas_shading.py).  'auto': on TPU
-    # when the chain shape is supported; 'off': always the XLA path;
-    # 'interpret': force the kernel in interpreter mode (CPU tests).
-    # Default OFF: bench-validated neutral-to--2% on the canonical workload
-    # (tools/ablate_fused.py r2: XLA 13113 rays/s vs fused f32 12850 /
-    # bf16-t512 13223, all within noise) — the step is not bound by the MLP
-    # chain's residual traffic.  The kernel stays as tested infrastructure
-    # for configs where the chain dominates (larger F / deeper stacks).
-    fused_chain: str = "off"
+    # (A fused Pallas pass for the whole per-neighbor chain lived here in
+    # round 2 behind a `fused_chain` knob — bench-neutral, retired to
+    # tools/pallas_shading.py; see CLAUDE.md round-2 log.)
+    # Rematerialize the per-neighbor MLP chain THROUGH the K-aggregation
+    # (jax.checkpoint, nothing_saveable): the backward recomputes the
+    # [R*SR*K, 256] activations instead of spilling them to HBM.  Required
+    # for the NeRF-synthetic workload (R=3600, SR=80 -> 2.3M neighbor rows;
+    # without it the train step needs ~25 GB of residuals and OOMs a v5e's
+    # 16 GB).  Off for ScanNet shapes where residuals fit (remat measured
+    # ~neutral-to--4% there, CLAUDE.md round-1 log).
+    remat_chain: bool = False
+    # Run the per-neighbor chain as a lax.scan over this many ray chunks
+    # (1 = single pass).  Bounds the chain's LIVE temporaries — the remat
+    # backward still peaks at several [R*SR*K, 256] buffers at once, and
+    # XLA's T(8,128) tiling pads the [R,SR,K,small] tensors' last dim to 128
+    # lanes (a [2.3M, 1] f32 temp costs 1.09 GB padded).  Chunks divide R.
+    chain_chunks: int = 1
 
     # Hybrid rendering (image-based branch).
     use_nearest: int = 4                  # number of nearby training views fused
@@ -450,10 +457,11 @@ def nerf_synth_points(scene: str = "lego") -> Config:
             ranges=(-0.721, -0.695, -0.995, 0.658, 0.706, 1.50),
             grid_capacity=24_000_000),
         points=PointsConfig(num_points=500_000),
-        agg=AggregatorConfig(use_nearest=0, drop_ratio=0.0),
+        agg=AggregatorConfig(use_nearest=0, drop_ratio=0.0,
+                             remat_chain=True, chain_chunks=8),
         render=RenderConfig(near_plane=2.0, far_plane=6.0),
         sampling=SamplingConfig(random_sample="random", random_sample_size=60,
-                                eval_chunk_rays=16384),
+                                eval_chunk_rays=4096),
         blur=BlurConfig(add_blur_sim=False),
         image_hw=(800, 800),
     )
@@ -464,9 +472,10 @@ def nerf_synth_hybrid(scene: str = "chair") -> Config:
     cfg = nerf_synth_points(scene)
     return cfg.replace(
         name=f"{scene}_hybrid",
-        agg=AggregatorConfig(use_nearest=4, drop_ratio=0.5),
+        agg=AggregatorConfig(use_nearest=4, drop_ratio=0.5,
+                             remat_chain=True, chain_chunks=8),
         sampling=SamplingConfig(random_sample="dilated", random_sample_size=56,
-                                eval_chunk_rays=16384),
+                                eval_chunk_rays=4096),
     )
 
 
@@ -480,7 +489,7 @@ def fixture_nerf_points(scan: str = "objsim") -> Config:
         name=f"{scan}_points",
         querier=dataclasses.replace(
             base.querier, ranges=(-1.0, -1.0, -1.0, 1.0, 1.0, 1.0),
-            grid_capacity=20_000_000, max_o=410_000, max_nodes=2_500_000),
+            grid_capacity=20_000_000, max_o=410_000, max_nodes=1_200_000),
         image_hw=(400, 400),
     )
 
@@ -491,9 +500,10 @@ def fixture_nerf_hybrid(scan: str = "objsim") -> Config:
     base = fixture_nerf_points(scan)
     return base.replace(
         name=f"{scan}_hybrid",
-        agg=AggregatorConfig(use_nearest=4, drop_ratio=0.5),
+        agg=AggregatorConfig(use_nearest=4, drop_ratio=0.5,
+                             remat_chain=True, chain_chunks=8),
         sampling=SamplingConfig(random_sample="dilated", random_sample_size=56,
-                                eval_chunk_rays=16384),
+                                eval_chunk_rays=4096),
     )
 
 

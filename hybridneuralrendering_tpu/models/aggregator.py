@@ -231,20 +231,6 @@ def init(key, cfg: AggregatorConfig) -> Dict:
     return params
 
 
-def use_fused_chain(cfg: AggregatorConfig) -> bool:
-    """The fused Pallas chain covers the canonical shapes: leaky_relu
-    activation, block3 present, alpha head.  'auto' gates on the TPU backend
-    (CPU tests run it in interpreter mode via 'interpret')."""
-    if cfg.fused_chain == "off":
-        return False
-    if cfg.act_type != "leaky_relu" or cfg.shading_feature_mlp_layer3 <= 0:
-        return False
-    if cfg.fused_chain == "interpret":
-        return True
-    import jax as _jax
-    return cfg.fused_chain == "auto" and _jax.default_backend() == "tpu"
-
-
 class AggOutput(NamedTuple):
     features: jnp.ndarray          # [R, SR, 1+3] (sigma, rgb)
     ray_valid: jnp.ndarray         # [R, SR] bool
@@ -375,64 +361,75 @@ def apply(params: Dict, cfg: AggregatorConfig, *,
                               axis=-1, keepdims=True)
             extra_parts += [dir_delta, dir_dot]
 
-    fused = use_fused_chain(cfg)
-    if fused:
-        # one Pallas pass for block1[+2]+block3+alpha head; the backward
-        # recomputes activations on-chip instead of spilling [N,256]
-        # residual/cotangent chains to HBM, and the positional encodings
-        # expand on-chip from the raw [N, Df+Dd] pair (ops/pallas_shading.py)
-        from hybridneuralrendering_tpu.ops import pallas_shading
-        blockA = list(params["block1"])
-        if cfg.shading_feature_mlp_layer2 > 0:
-            blockA += list(params["block2"])
-        Nf = R * SR * K
-        extra = (jnp.concatenate(extra_parts, axis=-1) if extra_parts
-                 else jnp.zeros((R, SR, K, 0), f32))
-        feat2, alpha_raw = pallas_shading.fused_feat_alpha_pe(
-            blockA, list(params["block3"]), list(params["alpha"]),
-            sampled_embedding.reshape(Nf, -1),
-            dists_flat.reshape(Nf, -1), extra.reshape(Nf, -1),
-            cfg.num_feat_freqs, abs(cfg.dist_xyz_freq),
-            compute_dtype=cfg.compute_dtype,
-            interpret=cfg.fused_chain == "interpret")
-        feat = feat2.reshape(R, SR, K, -1)
-        alpha_raw = alpha_raw.reshape(R, SR, K, 1)
-    else:
-        if cfg.dist_xyz_freq != 0:
-            dists_enc = positional_encoding(dists_flat, abs(cfg.dist_xyz_freq))
-        else:
-            dists_enc = dists_flat
-        # NOTE: first-layer splits (mlp_apply_split) were bench-tested here
-        # for block1/block3 and LOST (21859 -> 20145 rays/s): the small part
-        # widths (32/66-ch contractions) waste the MXU, while XLA already
-        # folds these same-leading-shape concats efficiently.  The split only
-        # pays off for the fusion MLP below, where it removes a broadcast
-        # across the V axis.
-        feat = sampled_embedding
-        if cfg.num_feat_freqs > 0:
-            feat = jnp.concatenate(
-                [feat, positional_encoding(feat, cfg.num_feat_freqs)],
-                axis=-1)
-        feat = jnp.concatenate([feat, dists_enc], axis=-1)
-        feat = mlp.mlp_apply(params["block1"], feat, cfg.act_type,
-                             final_act=True, compute_dtype=cdt)
-        if cfg.shading_feature_mlp_layer2 > 0:
-            feat = mlp.mlp_apply(params["block2"], feat, cfg.act_type,
-                                 final_act=True, compute_dtype=cdt)
-        if cfg.shading_feature_mlp_layer3 > 0:
-            feat = mlp.mlp_apply(params["block3"],
-                                 jnp.concatenate([feat] + extra_parts,
-                                                 axis=-1),
-                                 cfg.act_type, final_act=True,
-                                 compute_dtype=cdt)
-        alpha_raw = mlp.mlp_apply(params["alpha"], feat, cfg.act_type,
-                                  compute_dtype=cdt)
-
     mask_f = pnt_mask[..., None].astype(f32)
-    # per-neighbor alpha, aggregated with conf-scaled weights (order 2)
-    alpha_pnt = raw2density(alpha_raw, cfg.act_super)
-    alpha = jnp.sum(alpha_pnt * mask_f * w, axis=-2)             # [R, SR, 1]
-    feat_agg = jnp.sum(feat * mask_f * w, axis=-2)               # [R, SR, F]
+    mask_w = mask_f * w                                          # [R,SR,K,1]
+    # NOTE: a fused Pallas pass for this whole chain (block1[+2]+block3+
+    # alpha with a recompute backward and on-chip PE) was bench-NEUTRAL —
+    # XLA 13113 vs fused 12850-13223 across f32/bf16 variants; the chain's
+    # residual traffic was not the binding cost.  Kernel retired to
+    # tools/pallas_shading.py (round-2 log).
+    def chain_fn(p, emb, dflat, extras, mw):
+        """Per-neighbor MLP chain THROUGH the K-aggregation: in/out stay
+        at [R,SR,·] sizes so remat_chain can drop every [R,SR,K,256]
+        intermediate from the residual set."""
+        if cfg.dist_xyz_freq != 0:
+            dists_enc = positional_encoding(dflat, abs(cfg.dist_xyz_freq))
+        else:
+            dists_enc = dflat
+        # NOTE: first-layer splits (mlp_apply_split) were bench-tested
+        # here for block1/block3 and LOST (21859 -> 20145 rays/s): the
+        # small part widths (32/66-ch contractions) waste the MXU, while
+        # XLA already folds these same-leading-shape concats efficiently.
+        # The split only pays off for the fusion MLP below, where it
+        # removes a broadcast across the V axis.
+        ft = emb
+        if cfg.num_feat_freqs > 0:
+            ft = jnp.concatenate(
+                [ft, positional_encoding(ft, cfg.num_feat_freqs)],
+                axis=-1)
+        ft = jnp.concatenate([ft, dists_enc], axis=-1)
+        ft = mlp.mlp_apply(p["block1"], ft, cfg.act_type,
+                           final_act=True, compute_dtype=cdt)
+        if cfg.shading_feature_mlp_layer2 > 0:
+            ft = mlp.mlp_apply(p["block2"], ft, cfg.act_type,
+                               final_act=True, compute_dtype=cdt)
+        if cfg.shading_feature_mlp_layer3 > 0:
+            ft = mlp.mlp_apply(p["block3"],
+                               jnp.concatenate((ft,) + extras, axis=-1),
+                               cfg.act_type, final_act=True,
+                               compute_dtype=cdt)
+        a_raw = mlp.mlp_apply(p["alpha"], ft, cfg.act_type,
+                              compute_dtype=cdt)
+        # per-neighbor alpha, aggregated with conf-scaled weights
+        # (agg_intrp_order 2)
+        return (jnp.sum(raw2density(a_raw, cfg.act_super) * mw, axis=-2),
+                jnp.sum(ft * mw, axis=-2))
+
+    if cfg.remat_chain:
+        chain_fn = jax.checkpoint(
+            chain_fn, policy=jax.checkpoint_policies.nothing_saveable)
+    chain_params = {k: params[k] for k in
+                    ("block1", "block2", "block3", "alpha")
+                    if k in params}
+    nc = cfg.chain_chunks
+    if nc > 1 and R % nc == 0:
+        # sequential ray chunks bound peak HBM (see chain_chunks doc)
+        def scan_body(_, xs):
+            emb_c, dflat_c, mw_c = xs[:3]
+            return 0, chain_fn(chain_params, emb_c, dflat_c,
+                               tuple(xs[3:]), mw_c)
+
+        leaves = (sampled_embedding, dists_flat, mask_w) + \
+            tuple(extra_parts)
+        xs = tuple(x.reshape((nc, R // nc) + x.shape[1:])
+                   for x in leaves)
+        _, (alpha, feat_agg) = jax.lax.scan(scan_body, 0, xs)
+        alpha = alpha.reshape(R, SR, 1)
+        feat_agg = feat_agg.reshape(R, SR, -1)
+    else:
+        alpha, feat_agg = chain_fn(chain_params, sampled_embedding,
+                                   dists_flat, tuple(extra_parts),
+                                   mask_w)
 
     # ---- 3D color-feature branch ----
     vd = jnp.zeros_like(vdirs_enc) if cfg.disable_viewdirs else vdirs_enc
@@ -443,114 +440,14 @@ def apply(params: Dict, cfg: AggregatorConfig, *,
     if cfg.disable_color_feature:
         color_feature = color_feature * 0.0
 
-    aux_c = cfg.aux_feature_channels
-    has_img = img_feat_n is not None or img_feat_staged is not None
-    use_nearest = cfg.use_nearest if has_img else 0
-    if use_nearest > 0:
-        from hybridneuralrendering_tpu.models import feature_pyramid
-        if img_feat_staged is not None and cfg.staged_materialize:
-            images_n, stages = img_feat_staged
-            img_feat_n = feature_pyramid.materialize(images_n, stages)
-            img_feat_staged = None
-        if img_feat_staged is not None:
-            images_n, stages = img_feat_staged
-            V, H, W, _ = images_n.shape
-        else:
-            V, H, W, _ = img_feat_n.shape
-        px = sample_loc_i_n[..., 0].astype(jnp.int32)            # [V, R, SR]
-        py = sample_loc_i_n[..., 1].astype(jnp.int32)
-        valid = ((px >= 0) & (px < W) & (py >= 0) & (py < H))
-        if view_mask is not None:
-            # dynamic_nearest: unused tail of the static view stack carries
-            # zero fusion weight (scannet_ft_dataset.py:763-768 semantics)
-            valid = valid & (view_mask > 0)[:, None, None]
-        pxc, pyc = jnp.clip(px, 0, W - 1), jnp.clip(py, 0, H - 1)
-        vidx = jnp.arange(V)[:, None, None]
-        if img_feat_staged is not None:
-            img_feat = feature_pyramid.gather_staged(
-                images_n, stages, pyc, pxc)                      # [V,R,SR,45]
-        else:
-            # flat lane-aligned row gather with the sorted-cumsum custom VJP
-            # (neural_points._gather_rows): the plain [vidx,pyc,pxc] gather's
-            # backward is a serialized scatter-add into the [V,H,W,C] map on
-            # CNN-burst steps; the custom path reduces duplicates sorted.
-            from hybridneuralrendering_tpu.models.neural_points import \
-                _gather_rows
-            C = img_feat_n.shape[-1]
-            pad = (-C) % 64
-            if pad:
-                img_feat_n = jnp.concatenate(
-                    [img_feat_n,
-                     jnp.zeros(img_feat_n.shape[:-1] + (pad,),
-                               img_feat_n.dtype)], axis=-1)
-            flat = img_feat_n.reshape(V * H * W, C + pad)
-            fid = (vidx * H + pyc) * W + pxc                     # [V, R, SR]
-            img_feat = _gather_rows(flat, fid)[..., :cfg.aux_feature_channels]
-        img_feat = img_feat * valid[..., None].astype(f32)
-
-        if cfg.tradition_attention:
-            from hybridneuralrendering_tpu.models import attention
-            ctx = img_feat
-            if cfg.use_delta_view:
-                ctx = jnp.concatenate([img_feat, delta_viewdir_n], axis=-1)
-            # [V, R, SR, C] -> [R*SR, V, C]; query = point feature
-            ctx_b = ctx.transpose(1, 2, 0, 3).reshape(R * SR, V, ctx.shape[-1])
-            q_b = color_feature.reshape(R * SR, -1)
-            valid_b = valid.transpose(1, 2, 0).reshape(R * SR, V)
-            fused = attention.apply(params["attention"], q_b, ctx_b,
-                                    valid=valid_b,
-                                    use_gumbel=cfg.use_gumbel_softmax,
-                                    train=train)
-            merged = fused.reshape(R, SR, -1)[..., :aux_c]
-        else:
-            # first-layer split: the view-independent color_feature term
-            # computes once at [1,R,SR,·] and broadcast-adds — no
-            # [V,R,SR,176] concat + broadcast materialization
-            fw_parts = [img_feat, color_feature[None]]
-            if cfg.use_delta_view:
-                fw_parts.append(delta_viewdir_n)
-            fusion_w = jax.nn.sigmoid(mlp.mlp_apply_split(
-                params["fusion_weight"], fw_parts, cfg.act_type,
-                compute_dtype=cdt))                               # [V,R,SR,1]
-            fusion_w = fusion_w * valid[..., None].astype(f32)
-            if cfg.downweight_blurry_feats and frame_weight_n is not None:
-                fusion_w = fusion_w * frame_weight_n[:, None, None, None]
-            merged = jnp.sum(img_feat * fusion_w, axis=0) / (
-                jnp.sum(fusion_w, axis=0) + 1e-6)                 # [R,SR,45]
-
-        if train and drop_mask is not None:
-            merged = merged * (1.0 - drop_mask[:, None, None].astype(f32))
-    else:
-        merged = jnp.zeros(color_feature.shape[:-1] + (aux_c,), f32)
-
-    # ---- mixup: fuse 3D + image features ----
-    if cfg.mixup_mode == "partial":
-        intrinsic = color_feature[..., :aux_c]
-        view_part = color_feature[..., aux_c:]
-        mix_in = jnp.concatenate([intrinsic, merged], axis=-1)
-        if cfg.dynamic_weight:
-            bw = jax.nn.sigmoid(mlp.mlp_apply(params["mixup"], mix_in,
-                                              cfg.act_type))
-            mixed = (1 - bw) * intrinsic + bw * merged
-        else:
-            mixed = mlp.mlp_apply(params["mixup"], mix_in, cfg.act_type,
-                                  final_act=not cfg.learn_residuals,
-                                  compute_dtype=cdt)
-        if cfg.learn_residuals:
-            mixed = mixed + intrinsic
-        color_feature_mix = jnp.concatenate([mixed, view_part], axis=-1)
-    else:
-        mix_in = jnp.concatenate([color_feature, merged], axis=-1)
-        if cfg.dynamic_weight:
-            bw = jax.nn.sigmoid(mlp.mlp_apply(params["mixup"], mix_in,
-                                              cfg.act_type))
-            color_feature_mix = (1 - bw) * color_feature + bw * merged
-        else:
-            color_feature_mix = mlp.mlp_apply(
-                params["mixup"], mix_in, cfg.act_type,
-                final_act=not cfg.learn_residuals, compute_dtype=cdt)
-        if cfg.learn_residuals:
-            color_feature_mix = color_feature_mix + color_feature
+    # ---- hybrid image-feature fusion + mixup (models/fusion.py) ----
+    from hybridneuralrendering_tpu.models import fusion as fusion_mod
+    merged = fusion_mod.image_fusion(
+        params, cfg, color_feature, img_feat_n, img_feat_staged,
+        sample_loc_i_n, delta_viewdir_n, frame_weight_n, view_mask,
+        drop_mask, train, compute_dtype=cdt)
+    color_feature_mix = fusion_mod.mixup(params, cfg, color_feature, merged,
+                                         compute_dtype=cdt)
 
     if cfg.separate_color_decoder and train and drop_mask is not None:
         rgb_mix = raw2color(mlp.mlp_apply(params["color_final"],

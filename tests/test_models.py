@@ -454,3 +454,37 @@ class TestEditingRw2c:
         diff = np.abs(np.asarray(out_a["coarse_raycolor"])
                       - np.asarray(out_b["coarse_raycolor"]))[hit]
         assert diff.max() > 1e-4
+
+
+class TestRematChain:
+    def test_remat_matches_plain_values_and_grads(self):
+        """remat_chain only changes what the backward stores, never the math
+        (needed for the SR=80 NeRF workload to fit HBM)."""
+        import dataclasses
+
+        from hybridneuralrendering_tpu import config as C
+        from hybridneuralrendering_tpu.data.synthetic import (
+            make_synthetic_batch, make_synthetic_scene)
+        from hybridneuralrendering_tpu.models import renderer
+        from hybridneuralrendering_tpu.train import state as state_mod
+        from hybridneuralrendering_tpu.train import step as step_mod
+
+        cfg0 = C.tiny_test()
+        cfg1 = cfg0.replace(agg=dataclasses.replace(cfg0.agg,
+                                                    remat_chain=True))
+        points, grid = make_synthetic_scene(cfg0, num_points=512)
+        batch = make_synthetic_batch(cfg0)
+        params = renderer.init_params(jax.random.PRNGKey(0), cfg0)
+
+        outs = []
+        for cfg in (cfg0, cfg1):
+            # fresh buffers each run: train_step donates its state
+            pts_i = jax.tree_util.tree_map(jnp.array, points)
+            params_i = jax.tree_util.tree_map(jnp.array, params)
+            ts = state_mod.create_train_state(params_i, pts_i, cfg)
+            ts2, items = step_mod.train_step(
+                ts, grid, batch, jax.random.PRNGKey(3), None, cfg)
+            outs.append((float(items["loss_total"]),
+                         np.asarray(jax.tree_util.tree_leaves(ts2.params)[0])))
+        np.testing.assert_allclose(outs[0][0], outs[1][0], rtol=1e-6)
+        np.testing.assert_allclose(outs[0][1], outs[1][1], atol=1e-6)

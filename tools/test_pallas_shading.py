@@ -1,18 +1,25 @@
-"""Fused Pallas shading-chain kernel vs the XLA aggregator path.
+"""Fused Pallas shading-chain kernel vs the XLA aggregator chain.
 
-The kernel (ops/pallas_shading.py) must be a drop-in numerical replacement
-for block1[+block2]+block3+alpha-head, forward AND backward — verified here
-in interpreter mode on the CPU test backend.
+The kernel (tools/pallas_shading.py, retired: bench-neutral on the canonical
+workload, round-2 log) is a drop-in numerical replacement for
+block1[+block2]+block3+alpha-head, forward AND backward — verified here in
+interpreter mode on CPU.
 """
 
 import jax
+
+jax.config.update("jax_platforms", "cpu")
 import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from hybridneuralrendering_tpu import config as C
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+import pallas_shading as PS
+
 from hybridneuralrendering_tpu.models import mlp
-from hybridneuralrendering_tpu.ops import pallas_shading as PS
 
 
 def ref_chain(blockA, blockB, head, x1, extra):
@@ -136,38 +143,3 @@ def test_row_padding_exact():
                                rtol=2e-5, atol=1e-5)
     np.testing.assert_allclose(np.asarray(a_k), np.asarray(a_r),
                                rtol=2e-5, atol=1e-5)
-
-
-class TestAggregatorIntegration:
-    def _render_setup(self, fused_chain):
-        import dataclasses
-        from tests.test_models import make_batch, make_scene
-        cfg = C.tiny_test()
-        cfg = cfg.replace(agg=dataclasses.replace(
-            cfg.agg, fused_chain=fused_chain, shading_feature_mlp_layer2=1))
-        from hybridneuralrendering_tpu.models import renderer
-        points, grid = make_scene(cfg)
-        batch = make_batch(cfg)
-        params = renderer.init_params(jax.random.PRNGKey(0), cfg)
-        return cfg, points, grid, batch, params
-
-    def test_render_and_grads_match_xla_path(self):
-        from hybridneuralrendering_tpu.models import renderer
-        outs, grads = {}, {}
-        for mode in ("off", "interpret"):
-            cfg, points, grid, batch, params = self._render_setup(mode)
-
-            def loss(p):
-                out = renderer.render(p, points, grid, batch, cfg,
-                                      key=jax.random.PRNGKey(7), train=True)
-                return jnp.sum(out["coarse_raycolor"] ** 2)
-
-            outs[mode], grads[mode] = jax.value_and_grad(loss)(params)
-        np.testing.assert_allclose(float(outs["interpret"]),
-                                   float(outs["off"]), rtol=1e-5)
-        for r, k in zip(jax.tree_util.tree_leaves(grads["off"]),
-                        jax.tree_util.tree_leaves(grads["interpret"])):
-            scale = np.maximum(np.max(np.abs(np.asarray(r))), 1e-6)
-            np.testing.assert_allclose(np.asarray(k) / scale,
-                                       np.asarray(r) / scale,
-                                       rtol=5e-4, atol=5e-5)
