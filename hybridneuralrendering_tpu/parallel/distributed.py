@@ -92,6 +92,19 @@ def global_frame_batch(local_batches: Dict, mesh,
     return {k: put(v) for k, v in local_batches.items()}
 
 
+def host_local_array(x) -> np.ndarray:
+    """Materialize a (possibly multi-process global) array on this host.
+
+    `np.asarray` raises on global arrays whose shards live on other hosts;
+    for the replicated state trees used here every process's addressable
+    shard 0 IS the full value.  Host-side lifecycle code (probe/grow, grid
+    geometry, checkpointing) funnels through this so it works unchanged
+    under a multi-process mesh."""
+    if isinstance(x, jax.Array) and not x.is_fully_addressable:
+        return np.asarray(x.addressable_data(0))
+    return np.asarray(x)
+
+
 def replicate_host_tree(tree, mesh):
     """Replicate host arrays onto every device of a (possibly multi-host)
     mesh.  With multiple processes each host must contribute its addressable
@@ -119,6 +132,10 @@ def _worker_main():
     parser.add_argument("--process-id", type=int, required=True)
     parser.add_argument("--frames", type=int, default=2)
     parser.add_argument("--out", required=True)
+    parser.add_argument("--scenario", default="parity",
+                        choices=("parity", "lifecycle", "mesh2d"))
+    parser.add_argument("--workdir", default=None,
+                        help="shared dir for the lifecycle checkpoint")
     args = parser.parse_args()
 
     jax.config.update("jax_platforms", "cpu")
@@ -136,6 +153,12 @@ def _worker_main():
     from hybridneuralrendering_tpu.train import step as step_mod
 
     cfg = C.tiny_test()
+    if args.scenario == "mesh2d":
+        # 2-axis (replica, data) mesh (parallel/mesh.py:27-28): frames shard
+        # over `data`, the replica axis exercises the 2-D layout path
+        import dataclasses
+        cfg = cfg.replace(parallel=dataclasses.replace(
+            cfg.parallel, mesh_shape=(1, jax.device_count())))
     m = global_mesh(cfg.parallel)
 
     # identical scene/params on every host (same seed)
@@ -158,6 +181,10 @@ def _worker_main():
         ts_r, grid_r, batches, jax.random.PRNGKey(7), kern_r, cfg)
     loss = float(items["loss_total"])
 
+    if args.scenario == "lifecycle":
+        _lifecycle_scenario(args, cfg, new_ts, grid_r, kern_r, m, loss)
+        return
+
     # single-process reference value computed locally for parity
     frames_all = [make_synthetic_batch(cfg, seed=fi)
                   for fi in range(args.frames)]
@@ -172,6 +199,99 @@ def _worker_main():
         f.write(f"{loss:.8f} {loss_ref:.8f}\n")
     print(f"proc {args.process_id}: sharded={loss:.6f} local={loss_ref:.6f}",
           flush=True)
+
+
+def _lifecycle_scenario(args, cfg, ts, grid_r, kern_r, m, step_loss):
+    """Multi-process lifecycle surface (VERDICT r2 #4): N sharded steps ->
+    probe/grow on every host -> checkpoint save on process 0 + restore on
+    all -> one eval chunk.  Writes per-host state digests; the test asserts
+    they are IDENTICAL across hosts (divergence here would desync the
+    replicated state)."""
+    import jax.numpy as jnp
+
+    from hybridneuralrendering_tpu.data.synthetic import make_synthetic_batch
+    from hybridneuralrendering_tpu.models import renderer
+    from hybridneuralrendering_tpu.train import checkpoint as ckpt_mod
+    from hybridneuralrendering_tpu.train import lifecycle
+    from hybridneuralrendering_tpu.train import step as step_mod
+    from jax.experimental import multihost_utils
+
+    # two more sharded steps
+    for i in range(2):
+        frames = [make_synthetic_batch(cfg, seed=10 + i * 7 + fi)
+                  for fi in local_frame_ids(args.frames, m)]
+        batches = global_frame_batch(
+            step_mod.stack_batches(frames), m, cfg.parallel)
+        ts, items = step_mod.train_step_multi(
+            ts, grid_r, batches, jax.random.PRNGKey(100 + i), kern_r, cfg)
+
+    # probe-and-grow against a deterministic stub dataset; every host must
+    # grow the exact same points (lifecycle pulls host-local copies of the
+    # replicated state via host_local_array)
+    class StubDS:
+        height, width = cfg.image_hw
+        id_list = [0]
+
+        def __len__(self):
+            return 1
+
+        def image(self, vid):
+            # gt differs from bg so missed rays become growth candidates
+            return np.full((self.height, self.width, 3), 0.25, np.float32)
+
+        def get_batch(self, idx, rng=None, pixelcoords=None):
+            H, W = self.height, self.width
+            pc = pixelcoords.reshape(-1, 2).astype(np.float32)
+            x = (pc[:, 0] + 0.5 - W / 2) / (0.9 * W)
+            y = (pc[:, 1] + 0.5 - H / 2) / (0.9 * W)
+            dirs = np.stack([x, y, np.ones_like(x)], -1)
+            dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+            return {
+                "campos": np.array([0, 0, -2.5], np.float32),
+                "camrotc2w": np.eye(3, dtype=np.float32),
+                "raydir": dirs.astype(np.float32),
+                "pixel_idx": pc.astype(np.int32),
+                "gt_image": np.full((len(pc), 3), 0.25, np.float32),
+                "bg_color": np.ones(3, np.float32),
+            }
+
+    import dataclasses
+    probe_cfg = cfg.replace(probe=dataclasses.replace(
+        cfg.probe, prob_thresh=0.0))   # untrained opacities still grow
+    new_points, new_grid, n_added = lifecycle.probe_and_grow(
+        ts.params, ts.points, grid_r, StubDS(), probe_cfg,
+        rng=np.random.default_rng(0))
+    ts = ts._replace(points=new_points)
+
+    # checkpoint: process 0 writes, everyone restores the same file
+    assert args.workdir
+    ckpt_dir = args.workdir
+    if jax.process_index() == 0:
+        ckpt_mod.save_checkpoint(ckpt_dir, ts, best_psnr=1.25)
+    multihost_utils.sync_global_devices("ckpt_written")
+    latest = ckpt_mod.latest_checkpoint(ckpt_dir)
+    ts_restored, best = ckpt_mod.load_checkpoint(latest, ts)
+
+    # one deterministic eval chunk on the restored state
+    eb = StubDS().get_batch(0, pixelcoords=np.stack(
+        np.meshgrid(np.arange(8), np.arange(8), indexing="xy"), -1))
+    out = step_mod.eval_step(ts_restored.params, ts_restored.points, new_grid,
+                             eb, cfg)
+
+    digest = [
+        step_loss,
+        float(n_added),
+        float(host_local_array(ts.points.num_live)),
+        float(np.sum(host_local_array(ts.points.xyz))),
+        float(np.sum(np.abs(host_local_array(
+            jax.tree_util.tree_leaves(ts.params)[0])))),
+        float(best),
+        float(np.sum(host_local_array(ts_restored.points.xyz))),
+        float(np.mean(host_local_array(out["coarse_raycolor"]))),
+    ]
+    with open(args.out, "w") as f:
+        f.write(" ".join(f"{v:.8f}" for v in digest) + "\n")
+    print(f"proc {args.process_id}: lifecycle digest {digest}", flush=True)
 
 
 if __name__ == "__main__":

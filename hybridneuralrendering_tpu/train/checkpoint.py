@@ -30,7 +30,9 @@ def _flatten(tree, prefix=""):
     elif hasattr(tree, "_fields"):  # NamedTuple
         items = zip(tree._fields, tree)
     else:
-        out[prefix.rstrip("/")] = np.asarray(tree)
+        from hybridneuralrendering_tpu.parallel.distributed import \
+            host_local_array
+        out[prefix.rstrip("/")] = host_local_array(tree)
         return out
     for k, v in items:
         out.update(_flatten(v, f"{prefix}{k}/"))

@@ -19,6 +19,7 @@ from hybridneuralrendering_tpu.config import Config
 from hybridneuralrendering_tpu.data import sampling
 from hybridneuralrendering_tpu.models import neural_points as npts
 from hybridneuralrendering_tpu.ops import voxel_grid as VG
+from hybridneuralrendering_tpu.parallel.distributed import host_local_array
 from hybridneuralrendering_tpu.train import step as step_mod
 
 
@@ -83,7 +84,7 @@ def probe_frame(params, points, grid, dataset, frame_idx: int, cfg: Config
         px = chunks[ci, :, 0].astype(int)
         py = chunks[ci, :, 1].astype(int)
         for k in keys:
-            v = np.asarray(out[k])
+            v = host_local_array(out[k])
             if v.ndim == 1:
                 v = v[:, None]
             if k not in maps:
@@ -140,7 +141,7 @@ def probe_and_grow(params, points: npts.NeuralPoints, grid, dataset,
         probe_cfg = cfg.replace(querier=dataclasses.replace(
             cfg.querier, query_size=tuple(query_size_override)))
         geom_p = VG.compute_grid_geometry(
-            np.asarray(points.xyz), np.asarray(points.mask),
+            host_local_array(points.xyz), host_local_array(points.mask),
             probe_cfg.querier)
         probe_grid = VG.build_grid_jit(points.xyz, points.mask, geom_p,
                                        probe_cfg.querier)
@@ -179,7 +180,8 @@ def probe_and_grow(params, points: npts.NeuralPoints, grid, dataset,
                            jnp.asarray(cf), jnp.asarray(col), jnp.asarray(dr),
                            new_mask)
     geom = VG.compute_grid_geometry(
-        np.asarray(new_points.xyz), np.asarray(new_points.mask), cfg.querier)
+        host_local_array(new_points.xyz), host_local_array(new_points.mask),
+        cfg.querier)
     new_grid = VG.build_grid_jit(new_points.xyz, new_points.mask, geom,
                              cfg.querier)
     if tracker is not None:
@@ -191,6 +193,7 @@ def prune_and_rebuild(points: npts.NeuralPoints, cfg: Config):
     """Conf-threshold prune + grid rebuild (neural_points.py:350-373)."""
     new_points = npts.prune(points, cfg.probe.prune_thresh)
     geom = VG.compute_grid_geometry(
-        np.asarray(new_points.xyz), np.asarray(new_points.mask), cfg.querier)
+        host_local_array(new_points.xyz), host_local_array(new_points.mask),
+        cfg.querier)
     return new_points, VG.build_grid_jit(new_points.xyz, new_points.mask, geom,
                                      cfg.querier)
