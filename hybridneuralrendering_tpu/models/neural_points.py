@@ -129,23 +129,30 @@ def _gather_rows_bwd(res, g):
     si = flat_i[order]
     sg = flat_g[order]
 
-    # grad[p] = e[p] - e[p-1] where e[p] = cs[last sorted position with
-    # id <= p]: the inclusive cumsum read at each point's segment END —
-    # adjacent differencing then isolates the segment sums and gives absent
-    # points an exact 0.  ONE full-size row gather (e), vs the previous
-    # formulation's two (`base = cs[seg_start-1]` for all M rows, then
-    # `val[pos_of]`).  end_pos comes from a 1-ch scatter-max + cummax.
-    # NOTE: a single-pass Pallas cumsum (tools/pallas_scan.py) was bench-tested
-    # here and LOST badly (21144 -> 16532 rays/s): the 1176-step sequential
-    # carry grid defeats Mosaic's DMA pipelining.  XLA's log-pass cumsum
-    # stays.
-    cs = jnp.cumsum(sg, axis=0)                              # [M, F]
+    # end_pos[p] = last sorted position with id <= p (inclusive cummax form)
+    # from a 1-ch scatter-max with unique winners + cummax fill
     pos = jnp.arange(m, dtype=jnp.int32)
     end_pos = jnp.full((n,), -1, jnp.int32).at[si].max(
         pos, mode="drop")                                    # [n]
     end_pos = jax.lax.cummax(end_pos)
+
+    # grad[p] = e[p] - e[p-1] where e[p] = cs[end_pos[p]]: the inclusive
+    # cumsum read at each point's segment END — adjacent differencing
+    # isolates the segment sums and gives absent points an exact 0.  ONE
+    # full-size row gather (e), vs the previous formulation's two.
+    # NOTE: two Pallas replacements were bench-tested here and LOST:
+    # (1) a single-pass Pallas cumsum (tools/pallas_scan.py, 21144 ->
+    # 16532 rays/s — the 1176-step sequential carry grid defeats Mosaic's
+    # DMA pipelining); (2) a banded one-hot MXU segment-sum
+    # (tools/pallas_gather.py) that replaces this whole tail — 1.8x faster
+    # ISOLATED (9.4 vs 16.7 ms chained, rel err 2.8e-6) yet a full-step
+    # regression (bench 21982 -> 19927 even gated to the dense attr-stack
+    # reduction only): in-step the cumsum/e-gather fuse with the
+    # surrounding elementwise VJP work, and the pallas_call boundary forces
+    # those passes to materialize.  XLA's log-pass cumsum stays.
+    cs = jnp.cumsum(sg, axis=0)                          # [M, F]
     e = jnp.where((end_pos >= 0)[:, None],
-                  cs[jnp.maximum(end_pos, 0)], 0.0)          # [n, F]
+                  cs[jnp.maximum(end_pos, 0)], 0.0)      # [n, F]
     grad = e - jnp.concatenate([jnp.zeros_like(e[:1]), e[:-1]], axis=0)
     idx_ct = np.zeros(idx.shape, dtype=jax.dtypes.float0)
     return grad, idx_ct
