@@ -47,12 +47,25 @@ class Visualizer:
         for k, vals in sorted(self._acc.items()):
             mean = float(np.mean(vals))
             parts.append(f"{k}={mean:.6f}")
+            self.add_scalar(step, k, mean)
             if k.endswith("coarse_raycolor"):
-                parts.append(f"PSNR[{k}]={-10 * np.log10(max(mean, 1e-10)):.3f}")
+                psnr = -10 * np.log10(max(mean, 1e-10))
+                parts.append(f"PSNR[{k}]={psnr:.3f}")
+                self.add_scalar(step, f"PSNR[{k}]", psnr)
         if extra:
             parts.append(extra)
         self.log("  ".join(parts))
         self._acc.clear()
+
+    def add_scalar(self, step: int, tag: str, value: float):
+        """Machine-readable scalar stream `scalars.jsonl` — the equivalent of
+        the reference's optional tensorboardX export
+        (utils/visualizer.py:51-55,177-183), without the dependency: one
+        JSON object per line, trivially loadable into pandas/tensorboard."""
+        import json
+        with open(os.path.join(self.dir, "scalars.jsonl"), "a") as f:
+            f.write(json.dumps({"step": int(step), "tag": tag,
+                                "value": float(value)}) + "\n")
 
     # -- artifacts --------------------------------------------------------
 

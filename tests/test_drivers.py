@@ -152,3 +152,26 @@ class TestFeedForwardDriver:
         ff_ckpts = [f for f in os.listdir(ckdir / "fftest" / "ckpt")
                     if f.startswith("ff_")]
         assert ff_ckpts, "feed-forward checkpoint not written"
+
+
+class TestVisualizerScalars:
+    def test_scalar_export_jsonl(self, tmp_path):
+        """print_losses streams machine-readable scalars (scalars.jsonl) —
+        the reference's optional tensorboardX export
+        (utils/visualizer.py:51-55,177-183) without the dependency."""
+        import json
+
+        from hybridneuralrendering_tpu.utils.visualizer import Visualizer
+
+        vis = Visualizer(str(tmp_path), "scalartest")
+        for v in (0.04, 0.01):
+            vis.accumulate_losses({"loss_coarse_raycolor": v, "loss_x": 2 * v})
+        vis.print_losses(40)
+        vis.add_scalar(41, "lr", 5e-4)
+        rows = [json.loads(ln) for ln in
+                open(os.path.join(vis.dir, "scalars.jsonl"))]
+        by_tag = {(r["step"], r["tag"]): r["value"] for r in rows}
+        assert abs(by_tag[(40, "loss_coarse_raycolor")] - 0.025) < 1e-9
+        assert abs(by_tag[(40, "loss_x")] - 0.05) < 1e-9
+        assert (40, "PSNR[loss_coarse_raycolor]") in by_tag
+        assert by_tag[(41, "lr")] == 5e-4
