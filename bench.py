@@ -57,6 +57,9 @@ def bench_config():
     cdt = os.environ.get("BENCH_COMPUTE_DTYPE")
     if cdt:
         cfg = cfg.replace(agg=dataclasses.replace(cfg.agg, compute_dtype=cdt))
+    if os.environ.get("BENCH_FLAT_ADAM"):
+        cfg = cfg.replace(optim=dataclasses.replace(
+            cfg.optim, flat_point_adam=os.environ["BENCH_FLAT_ADAM"] == "1"))
     return cfg
 
 

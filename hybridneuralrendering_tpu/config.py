@@ -333,6 +333,15 @@ class OptimConfig:
     pyramid_cache: bool = True
     pyramid_cycle_steps: int = 400
     pyramid_burst_steps: int = 40
+    # Run the point-attribute Adam over FLATTENED (1-D) leaves.  Idea: XLA
+    # TPU tiles 2-D f32 arrays at T(8,128), so the [N,3]/[N,1] leaves'
+    # moments and update math would move up to 42x/128x the logical bytes.
+    # MEASURED DEAD END (round 3): bench 22202 -> 20413 rays/s — the
+    # flat<->shaped relayout copies on the params and gradients cost more
+    # than the padded update saves (XLA evidently already handles the
+    # shaped adam efficiently).  Knob kept for the A/B
+    # (BENCH_FLAT_ADAM; bitwise-equal math, TestFlatPointAdam).
+    flat_point_adam: bool = False
 
 
 @dataclass(frozen=True)

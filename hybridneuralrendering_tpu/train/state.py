@@ -47,17 +47,25 @@ def make_optimizers(cfg: OptimConfig):
 
 
 def point_param_tree(points: npts.NeuralPoints, cfg: Config) -> Dict:
-    """The trainable subset of point attributes as a dict pytree."""
+    """The trainable subset of point attributes as a dict pytree.
+
+    With optim.flat_point_adam the leaves are flattened to 1-D so the Adam
+    moments and update math run at logical size instead of the T(8,128)
+    lane-padded size of the narrow [N,3]/[N,1] attribute shapes (see
+    OptimConfig.flat_point_adam)."""
     filt = npts.trainable_filter(cfg.points)
+    flat = cfg.optim.flat_point_adam
     out = {}
     for name in ("xyz", "embedding", "conf", "color", "dirs"):
         if filt[name]:
-            out[name] = getattr(points, name)
+            leaf = getattr(points, name)
+            out[name] = leaf.reshape(-1) if flat else leaf
     return out
 
 
 def merge_point_params(points: npts.NeuralPoints, tree: Dict) -> npts.NeuralPoints:
-    return points._replace(**tree)
+    return points._replace(**{
+        k: v.reshape(getattr(points, k).shape) for k, v in tree.items()})
 
 
 def create_train_state(params: Dict, points: npts.NeuralPoints,

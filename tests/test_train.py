@@ -247,3 +247,40 @@ class TestMultiFrame:
                                           grid, batches, cfg, key, kernels)
         np.testing.assert_allclose(
             float(multi), (float(m0) + float(m1)) / 2, rtol=1e-4)
+
+
+class TestFlatPointAdam:
+    def test_flat_leaves_match_shaped_leaves(self):
+        """flat_point_adam only changes the optimizer leaves' LAYOUT (1-D vs
+        [N,·]); the update math is elementwise so step results must match
+        bitwise."""
+        import dataclasses
+
+        from hybridneuralrendering_tpu import config as C
+        from hybridneuralrendering_tpu.data.synthetic import (
+            make_synthetic_batch, make_synthetic_scene)
+        from hybridneuralrendering_tpu.models import renderer
+        from hybridneuralrendering_tpu.train import state as state_mod
+        from hybridneuralrendering_tpu.train import step as step_mod
+
+        cfg0 = C.tiny_test()
+        cfgs = [cfg0.replace(optim=dataclasses.replace(
+            cfg0.optim, flat_point_adam=f)) for f in (False, True)]
+        points, grid = make_synthetic_scene(cfgs[0], num_points=512)
+        batch = make_synthetic_batch(cfgs[0])
+        params = renderer.init_params(jax.random.PRNGKey(0), cfgs[0])
+
+        outs = []
+        for cfg in cfgs:
+            pts_i = jax.tree_util.tree_map(jnp.array, points)
+            params_i = jax.tree_util.tree_map(jnp.array, params)
+            ts = state_mod.create_train_state(params_i, pts_i, cfg)
+            for i in range(2):
+                ts, items = step_mod.train_step(
+                    ts, grid, batch, jax.random.PRNGKey(i), None, cfg)
+            outs.append((float(items["loss_total"]),
+                         np.asarray(ts.points.xyz),
+                         np.asarray(ts.points.conf)))
+        assert outs[0][0] == outs[1][0]
+        np.testing.assert_array_equal(outs[0][1], outs[1][1])
+        np.testing.assert_array_equal(outs[0][2], outs[1][2])
