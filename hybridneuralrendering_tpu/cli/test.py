@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import argparse
 import os
+import time
 
 import numpy as np
 
@@ -23,6 +24,8 @@ def build_argparser():
     p.add_argument("--num-frames", type=int, default=0,
                    help="0 = all test frames")
     p.add_argument("--with-lpips", action="store_true")
+    p.add_argument("--eval-chunk", type=int, default=0,
+                   help="override sampling.eval_chunk_rays (0 = preset)")
     return p
 
 
@@ -63,6 +66,10 @@ def main(argv=None):
         cfg = C.PRESETS[args.preset](args.scan)
     except TypeError:
         cfg = C.PRESETS[args.preset]()
+    if args.eval_chunk:
+        import dataclasses
+        cfg = cfg.replace(sampling=dataclasses.replace(
+            cfg.sampling, eval_chunk_rays=args.eval_chunk))
     name = args.name or cfg.name
     vis = Visualizer(args.checkpoints_dir, name + "_test")
     ckpt_dir = os.path.join(args.checkpoints_dir, name, "ckpt")
@@ -92,13 +99,19 @@ def main(argv=None):
     n = args.num_frames or len(test_ds)
     preds, gts = [], []
     for fi in range(min(n, len(test_ds))):
+        t0 = time.time()
         img = render_full_frame(ts.params, ts.points, grid, test_ds, fi, cfg)
+        dt = time.time() - t0
         gt = test_ds.image(test_ds.id_list[fi])
         preds.append(img)
         gts.append(gt)
         vis.save_image(img, fi, "coarse_raycolor")
         vis.save_image(gt, fi, "gt_image")
-        vis.log(f"frame {fi}: PSNR {M.psnr(img, gt):.3f}")
+        # per-frame render wall-clock, like run/test_ft.py:229 (first frame
+        # includes the eval-chunk jit compile)
+        vis.log(f"frame {fi}: PSNR {M.psnr(img, gt):.3f}  "
+                f"render {dt:.2f}s ({img.shape[0] * img.shape[1] / dt:.0f} "
+                f"rays/s)")
 
     scores = M.report_metrics(preds, gts, with_lpips=args.with_lpips)
     with open(os.path.join(vis.dir, "scores.txt"), "w") as f:

@@ -160,6 +160,9 @@ class AggregatorConfig:
     # backward still peaks at several [R*SR*K, 256] buffers at once, and
     # XLA's T(8,128) tiling pads the [R,SR,K,small] tensors' last dim to 128
     # lanes (a [2.3M, 1] f32 temp costs 1.09 GB padded).  Chunks divide R.
+    # A/B on the SR=80 NeRF workload (tools/ablate_nerf_chunks.py, r3):
+    # 16 chunks 448 ms vs 8 chunks 508 ms (+13%) vs 4 ~485 — smaller live
+    # windows pipeline better; presets use 16.
     chain_chunks: int = 1
 
     # Hybrid rendering (image-based branch).
@@ -467,7 +470,7 @@ def nerf_synth_points(scene: str = "lego") -> Config:
             grid_capacity=24_000_000),
         points=PointsConfig(num_points=500_000),
         agg=AggregatorConfig(use_nearest=0, drop_ratio=0.0,
-                             remat_chain=True, chain_chunks=8),
+                             remat_chain=True, chain_chunks=16),
         render=RenderConfig(near_plane=2.0, far_plane=6.0),
         sampling=SamplingConfig(random_sample="random", random_sample_size=60,
                                 eval_chunk_rays=4096),
@@ -482,7 +485,7 @@ def nerf_synth_hybrid(scene: str = "chair") -> Config:
     return cfg.replace(
         name=f"{scene}_hybrid",
         agg=AggregatorConfig(use_nearest=4, drop_ratio=0.5,
-                             remat_chain=True, chain_chunks=8),
+                             remat_chain=True, chain_chunks=16),
         sampling=SamplingConfig(random_sample="dilated", random_sample_size=56,
                                 eval_chunk_rays=4096),
     )
@@ -510,7 +513,7 @@ def fixture_nerf_hybrid(scan: str = "objsim") -> Config:
     return base.replace(
         name=f"{scan}_hybrid",
         agg=AggregatorConfig(use_nearest=4, drop_ratio=0.5,
-                             remat_chain=True, chain_chunks=8),
+                             remat_chain=True, chain_chunks=16),
         sampling=SamplingConfig(random_sample="dilated", random_sample_size=56,
                                 eval_chunk_rays=4096),
     )

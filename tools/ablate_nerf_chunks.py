@@ -1,0 +1,61 @@
+"""A/B chain_chunks (and remat granularity) on the NeRF-synthetic SR=80
+workload (bench.bench_config_nerf shapes).  The chunked lax.scan bounds the
+remat backward's live [R*SR*K, 256] temporaries; more chunks = smaller peak
+HBM but more sequential dispatch.  Chained full steps (axon rule)."""
+import dataclasses
+import json
+import os
+import time
+
+import jax
+
+cache_dir = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", cache_dir)
+
+from hybridneuralrendering_tpu.data.synthetic import (make_synthetic_batch,
+                                                      make_synthetic_scene)
+from hybridneuralrendering_tpu.models import renderer
+from hybridneuralrendering_tpu.train import state as state_mod
+from hybridneuralrendering_tpu.train import step as step_mod
+import bench
+
+key = jax.random.PRNGKey(0)
+
+
+def run(tag, nc, remat=True, iters=15):
+    cfg = bench.bench_config_nerf()
+    cfg = cfg.replace(agg=dataclasses.replace(
+        cfg.agg, chain_chunks=nc, remat_chain=remat))
+    pts, grid = make_synthetic_scene(cfg, num_points=400_000)
+    batch = make_synthetic_batch(cfg)
+    params = renderer.init_params(jax.random.PRNGKey(0), cfg)
+    ts = state_mod.create_train_state(params, pts, cfg)
+    t0 = time.perf_counter()
+    try:
+        ts, items = step_mod.train_step(ts, grid, batch, key, None, cfg)
+        jax.block_until_ready(items["loss_total"])
+    except Exception as e:
+        print(json.dumps({"tag": tag, "error": str(e)[:200]}), flush=True)
+        return
+    t_compile = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    for i in range(iters):
+        ts, items = step_mod.train_step(
+            ts, grid, batch, jax.random.fold_in(key, i), None, cfg)
+    jax.block_until_ready(items["loss_total"])
+    dt = (time.perf_counter() - t0) / iters
+    R = cfg.sampling.rays_per_batch
+    print(json.dumps({"tag": tag, "step_ms": round(dt * 1e3, 1),
+                      "rays_per_s": round(R / dt, 1),
+                      "compile_s": round(t_compile, 1),
+                      "loss": round(float(items["loss_total"]), 5)}),
+          flush=True)
+
+
+run("c16_a", 16)
+run("c8_a", 8)
+run("c16_b", 16)
+run("c8_b", 8)
+run("c32_a", 32)
+run("c16_c", 16)
