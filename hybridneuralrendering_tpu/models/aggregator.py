@@ -325,7 +325,11 @@ def apply(params: Dict, cfg: AggregatorConfig, *,
             jnp.sum(weight, axis=-1, keepdims=True), 1e-8)
 
     conf_coefficient = gradient_clamp(sampled_conf[..., 0])      # [R, SR, K]
-    w = (weight * conf_coefficient)[..., None]                   # [R, SR, K, 1]
+    # per-neighbor scalars stay 3-D [R,SR,K]: a trailing singleton would tile
+    # its minor dim to 128 lanes (T(8,128)) and any materialization of the
+    # [R*SR*K, 1] form costs 128x its logical bytes (round-2 trace tail:
+    # fusion.53 alone 3.2 ms)
+    w = weight * conf_coefficient                                # [R, SR, K]
 
     # ---- per-neighbor feature MLP (block1 [+ block3]) ----
     dists_flat = dists
@@ -361,8 +365,7 @@ def apply(params: Dict, cfg: AggregatorConfig, *,
                               axis=-1, keepdims=True)
             extra_parts += [dir_delta, dir_dot]
 
-    mask_f = pnt_mask[..., None].astype(f32)
-    mask_w = mask_f * w                                          # [R,SR,K,1]
+    mask_w = pnt_mask.astype(f32) * w                            # [R,SR,K]
     # NOTE: a fused Pallas pass for this whole chain (block1[+2]+block3+
     # alpha with a recompute backward and on-chip PE) was bench-NEUTRAL —
     # XLA 13113 vs fused 12850-13223 across f32/bf16 variants; the chain's
@@ -398,12 +401,21 @@ def apply(params: Dict, cfg: AggregatorConfig, *,
                                jnp.concatenate((ft,) + extras, axis=-1),
                                cfg.act_type, final_act=True,
                                compute_dtype=cdt)
-        a_raw = mlp.mlp_apply(p["alpha"], ft, cfg.act_type,
-                              compute_dtype=cdt)
+        # alpha head without a trailing singleton: the canonical head is a
+        # single Linear(F, 1) — as a matvec einsum it lands at [R,SR,K]
+        # directly instead of a 128x-lane-padded [R*SR*K, 1] dot output
+        if len(p["alpha"]) == 1:
+            a_raw = jnp.einsum("...c,c->...", ft, p["alpha"][0]["w"][:, 0])
+            a_raw = a_raw + p["alpha"][0]["b"][0]
+        else:
+            a_raw = mlp.mlp_apply(p["alpha"], ft, cfg.act_type,
+                                  compute_dtype=cdt)[..., 0]
         # per-neighbor alpha, aggregated with conf-scaled weights
-        # (agg_intrp_order 2)
-        return (jnp.sum(raw2density(a_raw, cfg.act_super) * mw, axis=-2),
-                jnp.sum(ft * mw, axis=-2))
+        # (agg_intrp_order 2); mw rides 3-D, broadcasting only inside the
+        # reduce fusions
+        return (jnp.sum(raw2density(a_raw, cfg.act_super) * mw,
+                        axis=-1)[..., None],
+                jnp.sum(ft * mw[..., None], axis=-2))
 
     if cfg.remat_chain:
         chain_fn = jax.checkpoint(

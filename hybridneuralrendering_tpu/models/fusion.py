@@ -94,14 +94,22 @@ def image_fusion(params: Dict, cfg: AggregatorConfig, color_feature,
         fw_parts = [img_feat, color_feature[None]]
         if cfg.use_delta_view:
             fw_parts.append(delta_viewdir_n)
-        fusion_w = jax.nn.sigmoid(mlp.mlp_apply_split(
-            params["fusion_weight"], fw_parts, cfg.act_type,
-            compute_dtype=compute_dtype))                     # [V,R,SR,1]
-        fusion_w = fusion_w * valid[..., None].astype(f32)
+        # final Linear(·,1) as a matvec einsum to [V,R,SR]: a [V,R,SR,1]
+        # dot output tiles its minor dim to 128 lanes (T(8,128)) and any
+        # materialization costs 128x its logical bytes (same fix as the
+        # aggregator's alpha head, round-3 perf log)
+        fw_layers = params["fusion_weight"]
+        h = mlp.mlp_apply_split(fw_layers[:-1], fw_parts, cfg.act_type,
+                                final_act=True,
+                                compute_dtype=compute_dtype)  # [V,R,SR,64]
+        head = fw_layers[-1]
+        fusion_w = jax.nn.sigmoid(
+            jnp.einsum("...c,c->...", h, head["w"][:, 0]) + head["b"][0])
+        fusion_w = fusion_w * valid.astype(f32)               # [V,R,SR]
         if cfg.downweight_blurry_feats and frame_weight_n is not None:
-            fusion_w = fusion_w * frame_weight_n[:, None, None, None]
-        merged = jnp.sum(img_feat * fusion_w, axis=0) / (
-            jnp.sum(fusion_w, axis=0) + 1e-6)                 # [R,SR,45]
+            fusion_w = fusion_w * frame_weight_n[:, None, None]
+        merged = jnp.sum(img_feat * fusion_w[..., None], axis=0) / (
+            jnp.sum(fusion_w, axis=0)[..., None] + 1e-6)      # [R,SR,45]
 
     if train and drop_mask is not None:
         merged = merged * (1.0 - drop_mask[:, None, None].astype(f32))
