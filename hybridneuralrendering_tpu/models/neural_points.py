@@ -11,7 +11,8 @@ flow to point attributes exactly through these gathers.
 
 from __future__ import annotations
 
-from typing import Dict, NamedTuple, Optional
+import dataclasses
+from typing import Dict, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -19,25 +20,118 @@ import numpy as np
 
 from hybridneuralrendering_tpu.config import PointsConfig
 
+ATTR_ORDER = ("xyz", "embedding", "conf", "color", "dirs")
 
-class NeuralPoints(NamedTuple):
-    """Fixed-capacity point cloud.  All arrays padded to cfg.num_points."""
 
-    xyz: jnp.ndarray          # [N, 3] f32 — positions
-    embedding: jnp.ndarray    # [N, F] f32 — learned features
-    conf: jnp.ndarray         # [N, 1] f32 — confidence
-    color: jnp.ndarray        # [N, 3] f32
-    dirs: jnp.ndarray         # [N, 3] f32 — acquisition view directions
+def attr_widths(feature_dim: int) -> Tuple[int, ...]:
+    return (3, feature_dim, 1, 3, 3)
+
+
+def table_width(feature_dim: int) -> int:
+    """Stacked attribute row width, zero-padded to a 64-lane multiple: XLA's
+    TPU row gather runs 3.3x faster on lane-aligned rows ([602k,64] 12.6 ms
+    vs [602k,47] 42 ms, tools/ablate_gather.py)."""
+    used = sum(attr_widths(feature_dim))
+    return used + (-used) % 64
+
+
+@dataclasses.dataclass(frozen=True)
+class NeuralPoints:
+    """Fixed-capacity point cloud, padded to cfg.num_points.
+
+    All five per-point attributes live STACKED in one lane-aligned
+    ``table [N, table_width]`` (xyz | embedding | conf | color | dirs | 0-pad)
+    — the layout the hot gather wants.  Round 2 stored them as separate
+    [N,3]/[N,F]/[N,1] leaves and paid a per-step concat (+ relayout copies
+    of the narrow lane-padded parts) to build this exact stack, ~4-6 ms of
+    the 130 ms cached step (r3 HLO trace: concatenate.29 + copy.1186-1190).
+    ``xyz``/``embedding``/... remain available as sliced views.  The Adam
+    over point attributes runs directly on the table (frozen attributes get
+    exactly-zero gradients via stop_gradient in `gather`, so their lanes —
+    and the zero pad — never move).
+    """
+
+    table: jnp.ndarray        # [N, table_width(F)] f32
     mask: jnp.ndarray         # [N] bool — live point
     num_live: jnp.ndarray     # [] i32
     # per-point world->local rotations for scene editing (None outside edit
     # mode; the reference carries these only for edited parts,
     # neural_points.py:473-487 + run/editiing.py:196-209)
     rw2c: Optional[jnp.ndarray] = None   # [N, 3, 3] f32 or None
+    # static metadata (pytree aux): attribute slicing + grad switches
+    feature_dim: int = 32
+    trainable: Tuple[bool, ...] = (False, True, True, True, True)
+
+    # -- attribute views ---------------------------------------------------
+
+    def _offset(self, name: str) -> Tuple[int, int]:
+        widths = attr_widths(self.feature_dim)
+        o = 0
+        for nm, w in zip(ATTR_ORDER, widths):
+            if nm == name:
+                return o, o + w
+            o += w
+        raise KeyError(name)
+
+    def _view(self, name: str) -> jnp.ndarray:
+        a, b = self._offset(name)
+        return self.table[:, a:b]
+
+    @property
+    def xyz(self) -> jnp.ndarray:          # [N, 3]
+        return self._view("xyz")
+
+    @property
+    def embedding(self) -> jnp.ndarray:    # [N, F]
+        return self._view("embedding")
+
+    @property
+    def conf(self) -> jnp.ndarray:         # [N, 1]
+        return self._view("conf")
+
+    @property
+    def color(self) -> jnp.ndarray:        # [N, 3]
+        return self._view("color")
+
+    @property
+    def dirs(self) -> jnp.ndarray:         # [N, 3]
+        return self._view("dirs")
 
     @property
     def capacity(self) -> int:
-        return self.xyz.shape[0]
+        return self.table.shape[0]
+
+    def _replace(self, **kw) -> "NeuralPoints":
+        """NamedTuple-compatible update; attribute names write their table
+        slice."""
+        table = kw.pop("table", self.table)
+        for name in ATTR_ORDER:
+            if name in kw:
+                a, b = self._offset(name)
+                v = jnp.asarray(kw.pop(name), table.dtype)
+                table = table.at[:, a:b].set(v.reshape(v.shape[0], b - a))
+        return dataclasses.replace(self, table=table, **kw)
+
+
+jax.tree_util.register_dataclass(
+    NeuralPoints,
+    data_fields=("table", "mask", "num_live", "rw2c"),
+    meta_fields=("feature_dim", "trainable"),
+)
+
+
+def build_table(feature_dim: int, xyz, embedding, conf, color, dirs,
+                xp=jnp) -> jnp.ndarray:
+    """Assemble the stacked lane-aligned table from per-attribute arrays."""
+    n = xyz.shape[0]
+    parts = [xyz, embedding, conf, color, dirs]
+    parts = [xp.asarray(p, xp.float32 if xp is jnp else np.float32)
+             .reshape(n, -1) for p in parts]
+    tw = table_width(feature_dim)
+    used = sum(p.shape[1] for p in parts)
+    pad = xp.zeros((n, tw - used),
+                   xp.float32 if xp is jnp else np.float32)
+    return xp.concatenate(parts + [pad], axis=1)
 
 
 def init_from_arrays(xyz: np.ndarray, cfg: PointsConfig,
@@ -72,14 +166,15 @@ def init_from_arrays(xyz: np.ndarray, cfg: PointsConfig,
     conf_arr = pad(conf if conf is not None else np.ones((n, 1)), 1)
     mask = np.zeros(cap, bool)
     mask[:n] = True
+    table = build_table(cfg.feature_dim, pad(xyz, 3), emb, conf_arr,
+                        pad(color, 3), pad(dirs, 3), xp=np)
     return NeuralPoints(
-        xyz=jnp.asarray(pad(xyz, 3)),
-        embedding=jnp.asarray(emb),
-        conf=jnp.asarray(conf_arr),
-        color=jnp.asarray(pad(color, 3)),
-        dirs=jnp.asarray(pad(dirs, 3)),
+        table=jnp.asarray(table),
         mask=jnp.asarray(mask),
         num_live=jnp.asarray(n, jnp.int32),
+        feature_dim=cfg.feature_dim,
+        trainable=(cfg.xyz_grad, cfg.feat_grad, cfg.conf_grad,
+                   cfg.color_grad, cfg.dir_grad),
     )
 
 
@@ -133,11 +228,19 @@ def _gather_rows_bwd(res, g):
         is_stable=True)
     sg = flat_g[order]
 
-    # end_pos[p] = last sorted position with id <= p (inclusive cummax form)
-    # from a 1-ch scatter-max with unique winners + cummax fill
+    # end_pos[p] = last sorted position with id <= p (inclusive cummax form).
+    # si is sorted, so each id's segment END is the unique j where the next
+    # id differs — a unique-index scatter-SET of those positions (XLA
+    # vectorizes unique scatters; the previous at[si].max scatter over ALL
+    # m rows serialized on duplicates: 5.3 ms in the r3 HLO trace).
     pos = jnp.arange(m, dtype=jnp.int32)
-    end_pos = jnp.full((n,), -1, jnp.int32).at[si].max(
-        pos, mode="drop")                                    # [n]
+    is_end = jnp.concatenate([si[:-1] != si[1:],
+                              jnp.ones((1,), bool)])         # [m]
+    # non-end rows scatter out of range (mode="drop") — the kept indices
+    # are strictly unique, no collision anywhere
+    end_at = jnp.where(is_end, si, n)                        # [m]
+    end_pos = jnp.full((n,), -1, jnp.int32).at[end_at].set(
+        pos, mode="drop", unique_indices=True)               # [n]
     end_pos = jax.lax.cummax(end_pos)
 
     # grad[p] = e[p] - e[p-1] where e[p] = cs[end_pos[p]]: the inclusive
@@ -180,36 +283,20 @@ def gather(points: NeuralPoints, sample_pidx: jnp.ndarray) -> SampledPoints:
     42 ms, tools/ablate_gather.py) and the backward pipe's two full-size
     row gathers inherit the alignment through the cotangent."""
     idx = jnp.clip(sample_pidx, 0)
-    stack = jnp.concatenate(
-        [points.xyz, points.embedding, points.conf, points.color,
-         points.dirs], axis=-1)
-    pad = (-stack.shape[-1]) % 64
-    if pad:
-        stack = jnp.concatenate(
-            [stack, jnp.zeros(stack.shape[:-1] + (pad,), stack.dtype)],
-            axis=-1)
-    out = _gather_rows(stack, idx)
-    fdim = points.embedding.shape[-1]
-    splits = np.cumsum([3, fdim, 1, 3, 3]).tolist()
-    xyz, emb, conf, color, dirs = jnp.split(out, splits, axis=-1)[:5]
+    out = _gather_rows(points.table, idx)
+    splits = np.cumsum(attr_widths(points.feature_dim)).tolist()
+    parts = jnp.split(out, splits, axis=-1)[:5]
+    # frozen attributes (per-attr grad switches, reference
+    # neural_points.py:133-170): stop_gradient on the POST-gather slice
+    # zeroes their table-lane cotangents for free — the whole table is one
+    # Adam leaf, so untouched lanes simply never move
+    parts = [p if t else jax.lax.stop_gradient(p)
+             for p, t in zip(parts, points.trainable)]
+    xyz, emb, conf, color, dirs = parts
     return SampledPoints(
         xyz=xyz, embedding=emb, conf=conf, color=color, dirs=dirs,
         rw2c=None if points.rw2c is None else points.rw2c[idx],
     )
-
-
-def trainable_filter(cfg: PointsConfig) -> Dict[str, bool]:
-    """Which attributes receive gradients (reference per-attribute grad
-    switches, neural_points.py:133-170)."""
-    return {
-        "xyz": cfg.xyz_grad,
-        "embedding": cfg.feat_grad,
-        "conf": cfg.conf_grad,
-        "color": cfg.color_grad,
-        "dirs": cfg.dir_grad,
-        "mask": False,
-        "num_live": False,
-    }
 
 
 def prune(points: NeuralPoints, thresh: float) -> NeuralPoints:
@@ -240,16 +327,12 @@ def grow(points: NeuralPoints, new_xyz: jnp.ndarray, new_embedding: jnp.ndarray,
     dest = slot_of_rank[jnp.clip(order, 0, cap - 1)]     # [M]
     dest = jnp.where(new_mask, dest, cap)                # drop masked
 
-    def put(arr, new):
-        return arr.at[dest].set(new, mode="drop")
-
+    new_table = build_table(points.feature_dim, new_xyz, new_embedding,
+                            new_conf, new_color, new_dirs)
     mask = points.mask.at[dest].set(True, mode="drop")
-    return NeuralPoints(
-        xyz=put(points.xyz, new_xyz),
-        embedding=put(points.embedding, new_embedding),
-        conf=put(points.conf, new_conf),
-        color=put(points.color, new_color),
-        dirs=put(points.dirs, new_dirs),
+    return dataclasses.replace(
+        points,
+        table=points.table.at[dest].set(new_table, mode="drop"),
         mask=mask,
         num_live=jnp.sum(mask.astype(jnp.int32)),
     )

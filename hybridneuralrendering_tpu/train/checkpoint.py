@@ -19,6 +19,9 @@ import numpy as np
 from hybridneuralrendering_tpu.train.state import TrainState
 
 
+import dataclasses as _dc
+
+
 def _flatten(tree, prefix=""):
     out = {}
     if tree is None:  # optional fields (e.g. NeuralPoints.rw2c outside edit)
@@ -29,6 +32,11 @@ def _flatten(tree, prefix=""):
         items = enumerate(tree)
     elif hasattr(tree, "_fields"):  # NamedTuple
         items = zip(tree._fields, tree)
+    elif _dc.is_dataclass(tree):   # e.g. NeuralPoints (array fields only;
+        # static metadata is carried by the load template, not the file)
+        items = [(f.name, getattr(tree, f.name)) for f in _dc.fields(tree)
+                 if not isinstance(getattr(tree, f.name),
+                                   (bool, int, float, str, tuple))]
     else:
         from hybridneuralrendering_tpu.parallel.distributed import \
             host_local_array
@@ -79,11 +87,52 @@ def load_checkpoint(path: str, template: TrainState
     data = np.load(path)
     best = float(data["__best_psnr__"]) if "__best_psnr__" in data else 0.0
 
+    def leaf(key, tmpl=None):
+        if key in data:
+            return jax.numpy.asarray(data[key])
+        # migration: round-<=2 checkpoints stored the point attributes (and
+        # their Adam moments) as separate xyz/embedding/conf/color/dirs
+        # arrays; the stacked-table layout assembles them (zero pad lanes)
+        if key.endswith("/table"):
+            base = key[: -len("table")]
+            names = ("xyz", "embedding", "conf", "color", "dirs")
+            if f"{base}xyz" in data or f"{base}embedding" in data:
+                n = None
+                parts = []
+                for nm in names:
+                    if f"{base}{nm}" in data:
+                        p = data[f"{base}{nm}"]
+                        n = p.shape[0]
+                        parts.append(p.reshape(n, -1))
+                    else:
+                        parts.append(None)
+                fdim = (parts[1].shape[1] if parts[1] is not None else 32)
+                widths = [3, fdim, 1, 3, 3]
+                parts = [p if p is not None else
+                         np.zeros((n, w), np.float32)
+                         for p, w in zip(parts, widths)]
+                used = sum(widths)
+                tw = (tmpl.shape[1] if tmpl is not None
+                      else used + (-used) % 64)
+                pad = np.zeros((n, tw - used), np.float32)
+                return jax.numpy.asarray(
+                    np.concatenate(parts + [pad], axis=1))
+        raise KeyError(f"checkpoint {path} missing {key}")
+
     def rebuild(tree, prefix=""):
         if tree is None:
             return None
         if isinstance(tree, dict):
             return {k: rebuild(v, f"{prefix}{k}/") for k, v in tree.items()}
+        if _dc.is_dataclass(tree) and not isinstance(tree, type):
+            kw = {}
+            for f in _dc.fields(tree):
+                v = getattr(tree, f.name)
+                if isinstance(v, (bool, int, float, str, tuple)):
+                    kw[f.name] = v        # static metadata from the template
+                else:
+                    kw[f.name] = rebuild(v, f"{prefix}{f.name}/")
+            return _dc.replace(tree, **kw)
         if hasattr(tree, "_fields"):
             return type(tree)(*[rebuild(getattr(tree, f), f"{prefix}{f}/")
                                 for f in tree._fields])
@@ -91,8 +140,7 @@ def load_checkpoint(path: str, template: TrainState
             return type(tree)(rebuild(v, f"{prefix}{i}/")
                               for i, v in enumerate(tree))
         key = prefix.rstrip("/")
-        arr = data[key]
-        return jax.numpy.asarray(arr)
+        return leaf(key, tree if hasattr(tree, "shape") else None)
 
     state = TrainState(**rebuild(template._asdict()))
     return state, best

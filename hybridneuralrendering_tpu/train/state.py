@@ -47,20 +47,16 @@ def make_optimizers(cfg: OptimConfig):
 
 
 def point_param_tree(points: npts.NeuralPoints, cfg: Config) -> Dict:
-    """The trainable subset of point attributes as a dict pytree.
+    """The optimizable point state: the stacked attribute table (one leaf).
 
-    With optim.flat_point_adam the leaves are flattened to 1-D so the Adam
-    moments and update math run at logical size instead of the T(8,128)
-    lane-padded size of the narrow [N,3]/[N,1] attribute shapes (see
-    OptimConfig.flat_point_adam)."""
-    filt = npts.trainable_filter(cfg.points)
-    flat = cfg.optim.flat_point_adam
-    out = {}
-    for name in ("xyz", "embedding", "conf", "color", "dirs"):
-        if filt[name]:
-            leaf = getattr(points, name)
-            out[name] = leaf.reshape(-1) if flat else leaf
-    return out
+    Frozen attributes receive exactly-zero gradients (stop_gradient in
+    neural_points.gather), so their lanes never move under Adam; when no
+    attribute is trainable the tree is empty.  flat_point_adam optionally
+    flattens the leaf (measured dead end, kept for A/B)."""
+    if not any(points.trainable):
+        return {}
+    leaf = points.table
+    return {"table": leaf.reshape(-1) if cfg.optim.flat_point_adam else leaf}
 
 
 def merge_point_params(points: npts.NeuralPoints, tree: Dict) -> npts.NeuralPoints:

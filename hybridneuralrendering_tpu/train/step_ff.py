@@ -78,10 +78,14 @@ def generate_points(mvs_params, group: Dict, cfg: Config,
     ones = jnp.ones_like(cam_xyz[..., :1])
     xyz_w = (jnp.concatenate([cam_xyz, ones], -1) @ c2ws[0].T)[..., :3]
     M = xyz_w.shape[0]
+    table = npts.build_table(
+        cfg.points.feature_dim, xyz_w, emb[:, : cfg.points.feature_dim],
+        conf_col, color, dirs)
     return npts.NeuralPoints(
-        xyz=xyz_w, embedding=emb[:, : cfg.points.feature_dim],
-        conf=conf_col, color=color, dirs=dirs,
-        mask=mask, num_live=jnp.sum(mask.astype(jnp.int32)))
+        table=table, mask=mask, num_live=jnp.sum(mask.astype(jnp.int32)),
+        feature_dim=cfg.points.feature_dim,
+        # feed-forward mode differentiates point positions too
+        trainable=(True, True, True, True, True))
 
 
 def ff_loss_fn(params: Dict, mvs_params, group: Dict, ray_batch: Dict,
