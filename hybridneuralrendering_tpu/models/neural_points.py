@@ -239,6 +239,23 @@ def _gather_rows_bwd(res, g):
     # non-end rows scatter out of range (mode="drop") — the kept indices
     # are strictly unique, no collision anywhere
     end_at = jnp.where(is_end, si, n)                        # [m]
+
+    cs = jnp.cumsum(sg, axis=0)                              # [m, F]
+    # NOTE: for SPARSE segments (the materialized-pyramid table gradient,
+    # m=301k rows -> n=1.23M ids, burst steps only) the n-row e-gather
+    # below is the single largest burst-step op (18 ms, r3 HLO fusion.6).
+    # A scatter formulation (per-segment sums at END rows via one m-row
+    # monotone gather, then a unique-index row scatter into a zero table)
+    # was bench-tested and LOST BADLY: uncached 19365 -> 16462 rays/s —
+    # multi-channel row scatters are slow on TPU even with unique indices
+    # (matches r2 ablate_gather: scatter-set of rows 114 ms vs 12.6 ms
+    # gather at the same shape).  The e-gather stays.
+
+    # end_pos[p] = last sorted position with id <= p (inclusive cummax form).
+    # si is sorted, so each id's segment END is the unique j where the next
+    # id differs — a unique-index scatter-SET of those positions (XLA
+    # vectorizes unique scatters; the previous at[si].max scatter over ALL
+    # m rows serialized on duplicates: 5.3 ms in the r3 HLO trace).
     end_pos = jnp.full((n,), -1, jnp.int32).at[end_at].set(
         pos, mode="drop", unique_indices=True)               # [n]
     end_pos = jax.lax.cummax(end_pos)
@@ -257,7 +274,6 @@ def _gather_rows_bwd(res, g):
     # reduction only): in-step the cumsum/e-gather fuse with the
     # surrounding elementwise VJP work, and the pallas_call boundary forces
     # those passes to materialize.  XLA's log-pass cumsum stays.
-    cs = jnp.cumsum(sg, axis=0)                          # [M, F]
     e = jnp.where((end_pos >= 0)[:, None],
                   cs[jnp.maximum(end_pos, 0)], 0.0)      # [n, F]
     grad = e - jnp.concatenate([jnp.zeros_like(e[:1]), e[:-1]], axis=0)
