@@ -324,7 +324,7 @@ def apply(params: Dict, cfg: AggregatorConfig, *,
         weight = weight / jnp.maximum(
             jnp.sum(weight, axis=-1, keepdims=True), 1e-8)
 
-    conf_coefficient = gradient_clamp(sampled_conf[..., 0])      # [R, SR, K]
+    conf_coefficient = gradient_clamp(sampled_conf)              # [R, SR, K]
     # per-neighbor scalars stay 3-D [R,SR,K]: a trailing singleton would tile
     # its minor dim to 128 lanes (T(8,128)) and any materialization of the
     # [R*SR*K, 1] form costs 128x its logical bytes (round-2 trace tail:

@@ -183,7 +183,8 @@ class SampledPoints(NamedTuple):
 
     xyz: jnp.ndarray          # [R, SR, K, 3]
     embedding: jnp.ndarray    # [R, SR, K, F]
-    conf: jnp.ndarray         # [R, SR, K, 1]
+    conf: jnp.ndarray         # [R, SR, K] (squeezed: a trailing singleton
+                              # would lane-pad its cotangent 128x, r3 log)
     color: jnp.ndarray        # [R, SR, K, 3]
     dirs: jnp.ndarray         # [R, SR, K, 3]
     rw2c: Optional[jnp.ndarray] = None  # [R, SR, K, 3, 3] in edit mode
@@ -309,6 +310,7 @@ def gather(points: NeuralPoints, sample_pidx: jnp.ndarray) -> SampledPoints:
     parts = [p if t else jax.lax.stop_gradient(p)
              for p, t in zip(parts, points.trainable)]
     xyz, emb, conf, color, dirs = parts
+    conf = conf[..., 0]
     return SampledPoints(
         xyz=xyz, embedding=emb, conf=conf, color=color, dirs=dirs,
         rw2c=None if points.rw2c is None else points.rw2c[idx],

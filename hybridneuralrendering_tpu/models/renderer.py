@@ -177,7 +177,7 @@ def render(params: Dict, points: npts.NeuralPoints, grid: PointGrid,
             jnp.linalg.norm(xyz_sel - max_loc[:, None, :], axis=-1),
             axis=-1, keepdims=True)
         for nm, arr in (("color", sampled.color), ("dir", sampled.dirs),
-                        ("conf", sampled.conf),
+                        ("conf", sampled.conf[..., None]),
                         ("embedding", sampled.embedding)):
             output[f"shading_avg_{nm}"] = jnp.sum(
                 arr[r_ix, op_ind] * wsel, axis=-2)

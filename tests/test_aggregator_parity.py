@@ -241,7 +241,7 @@ class TestAggregatorParity:
             sampled_embedding=jnp.asarray(sampled_embedding[0]),
             sampled_color=jnp.asarray(sampled_color[0]),
             sampled_dir=jnp.asarray(sampled_dir[0]),
-            sampled_conf=jnp.asarray(sampled_conf[0]),
+            sampled_conf=jnp.asarray(sampled_conf[0, ..., 0]),
             pnt_mask=jnp.asarray(pnt_mask[0]),
             sample_loc=jnp.asarray(sample_loc[0]),
             sample_loc_w=jnp.asarray(sample_loc_w[0]),
