@@ -23,10 +23,10 @@ import bench
 key = jax.random.PRNGKey(0)
 
 
-def run(tag, nc, remat=True, iters=15):
+def run(tag, nc, remat=True, iters=15, dtype="float32"):
     cfg = bench.bench_config_nerf()
     cfg = cfg.replace(agg=dataclasses.replace(
-        cfg.agg, chain_chunks=nc, remat_chain=remat))
+        cfg.agg, chain_chunks=nc, remat_chain=remat, compute_dtype=dtype))
     pts, grid = make_synthetic_scene(cfg, num_points=400_000)
     batch = make_synthetic_batch(cfg)
     params = renderer.init_params(jax.random.PRNGKey(0), cfg)
@@ -53,9 +53,7 @@ def run(tag, nc, remat=True, iters=15):
           flush=True)
 
 
-run("c16_a", 16)
-run("c8_a", 8)
-run("c16_b", 16)
-run("c8_b", 8)
-run("c32_a", 32)
-run("c16_c", 16)
+run("c16_f32", 16)
+run("c16_bf16", 16, dtype="bfloat16")
+run("c16_f32_b", 16)
+run("c16_bf16_b", 16, dtype="bfloat16")
