@@ -60,6 +60,10 @@ def bench_config():
     if os.environ.get("BENCH_FLAT_ADAM"):
         cfg = cfg.replace(optim=dataclasses.replace(
             cfg.optim, flat_point_adam=os.environ["BENCH_FLAT_ADAM"] == "1"))
+    if os.environ.get("BENCH_PALLAS_ADAM"):
+        cfg = cfg.replace(optim=dataclasses.replace(
+            cfg.optim,
+            pallas_point_adam=os.environ["BENCH_PALLAS_ADAM"] == "1"))
     return cfg
 
 

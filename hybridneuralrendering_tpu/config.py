@@ -345,6 +345,12 @@ class OptimConfig:
     # shaped adam efficiently).  Knob kept for the A/B
     # (BENCH_FLAT_ADAM; bitwise-equal math, TestFlatPointAdam).
     flat_point_adam: bool = False
+    # Fused Pallas Adam over the stacked point table (ops/pallas_adam.py):
+    # both moment EMAs + bias correction + the param apply in ONE pipelined
+    # HBM pass with in-place aliased buffers, replacing optax's multi-fusion
+    # lowering.  TPU-only; optax fallback elsewhere (same math and state
+    # structure — TestPallasAdam asserts parity).
+    pallas_point_adam: bool = False
 
 
 @dataclass(frozen=True)

@@ -1,0 +1,98 @@
+"""Pallas TPU kernel: fused Adam update for the stacked point-attribute table.
+
+The point optimizer (reference mvs_points_volumetric_model.py:84-104, the
+`plr` Adam group) updates one [N, 64] f32 table per step.  optax.adam lowers
+to several XLA loop fusions (moment updates, bias correction, the final
+param add), each re-reading the 154 MB working set from HBM; the device
+trace attributes ~8 ms of the cached step to this region, ~6x the one-pass
+traffic bound (7 arrays r/w = ~1.1 GB at 819 GB/s = 1.3 ms).  This kernel
+performs the whole update — both moment EMAs, bias correction, and the
+parameter apply — in ONE pipelined pass, aliasing param/mu/nu buffers
+in place so the donated train state never copies.
+
+Math is optax.adam's exactly (scale_by_adam + scale_by_schedule):
+
+    mu'  = b1*mu + (1-b1)*g
+    nu'  = b2*nu + (1-b2)*g^2
+    p'   = p - lr(sched_count) * (mu'/(1-b1^t)) / (sqrt(nu'/(1-b2^t)) + eps)
+
+with t = adam count + 1; the scalar factors are computed outside the kernel
+(they depend only on the step counters) and ride in SMEM.
+
+Falls back to the XLA/optax path off-TPU or when the row count does not
+split into whole blocks; tests run the kernel in interpreter mode on CPU
+against optax.adam (TestPallasAdam).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_BLOCKS = (4096, 2048, 1024, 512, 256, 128, 64, 32, 16, 8)
+
+
+def _adam_kernel(s_ref, p_ref, g_ref, mu_ref, nu_ref,
+                 po_ref, muo_ref, nuo_ref):
+    b1, b2 = s_ref[0, 0], s_ref[0, 1]
+    c1, c2 = s_ref[0, 2], s_ref[0, 3]
+    bc1, bc2 = s_ref[0, 4], s_ref[0, 5]
+    neg_lr, eps = s_ref[0, 6], s_ref[0, 7]
+    g = g_ref[:]
+    mu = b1 * mu_ref[:] + c1 * g
+    nu = b2 * nu_ref[:] + c2 * g * g
+    muo_ref[:] = mu
+    nuo_ref[:] = nu
+    po_ref[:] = p_ref[:] + neg_lr * ((mu / bc1) / (jnp.sqrt(nu / bc2) + eps))
+
+
+def pick_block(n: int):
+    for b in _BLOCKS:
+        if n % b == 0:
+            return b
+    return None
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def adam_table_update(p: jnp.ndarray, g: jnp.ndarray, mu: jnp.ndarray,
+                      nu: jnp.ndarray, scalars: jnp.ndarray,
+                      interpret: bool = False):
+    """One fused Adam step over a [N, F] table (F a lane multiple).
+
+    scalars: [8] f32 = (b1, b2, 1-b1, 1-b2, 1-b1^t, 1-b2^t, -lr_t, eps).
+    Returns (p', mu', nu'); p/mu/nu buffers are aliased in place.
+    """
+    N, F = p.shape
+    block = pick_block(N)
+    if block is None:
+        raise ValueError(f"row count {N} has no whole block split")
+    spec = pl.BlockSpec((block, F), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    out = jax.ShapeDtypeStruct((N, F), p.dtype)
+    return pl.pallas_call(
+        _adam_kernel,
+        grid=(N // block,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] + [spec] * 4,
+        out_specs=[spec] * 3,
+        out_shape=[out] * 3,
+        input_output_aliases={1: 0, 3: 1, 4: 2},
+        interpret=interpret,
+    )(scalars.reshape(1, 8).astype(p.dtype), p, g, mu, nu)
+
+
+def adam_scalars(count: jnp.ndarray, sched_count: jnp.ndarray,
+                 schedule, b1: float, b2: float,
+                 eps: float = 1e-8) -> jnp.ndarray:
+    """The per-step scalar factors, matching optax.scale_by_adam (bias
+    correction at t = count+1) + scale_by_schedule (lr at the schedule's own
+    pre-increment count)."""
+    t = (count + 1).astype(jnp.float32)
+    return jnp.stack([
+        jnp.float32(b1), jnp.float32(b2),
+        jnp.float32(1.0 - b1), jnp.float32(1.0 - b2),
+        1.0 - jnp.float32(b1) ** t, 1.0 - jnp.float32(b2) ** t,
+        -schedule(sched_count).astype(jnp.float32), jnp.float32(eps),
+    ])
