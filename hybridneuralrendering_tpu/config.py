@@ -424,6 +424,7 @@ def scannet_hybrid(scan: str = "scene0241_01") -> Config:
         name=f"{scan}_hybrid",
         blur=BlurConfig(add_blur_sim=False),
         loss=LossConfig(use_frame_weight=False),
+        sampling=SamplingConfig(eval_chunk_rays=16384),
     )
 
 
