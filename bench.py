@@ -57,13 +57,6 @@ def bench_config():
     cdt = os.environ.get("BENCH_COMPUTE_DTYPE")
     if cdt:
         cfg = cfg.replace(agg=dataclasses.replace(cfg.agg, compute_dtype=cdt))
-    if os.environ.get("BENCH_FLAT_ADAM"):
-        cfg = cfg.replace(optim=dataclasses.replace(
-            cfg.optim, flat_point_adam=os.environ["BENCH_FLAT_ADAM"] == "1"))
-    if os.environ.get("BENCH_PALLAS_ADAM"):
-        cfg = cfg.replace(optim=dataclasses.replace(
-            cfg.optim,
-            pallas_point_adam=os.environ["BENCH_PALLAS_ADAM"] == "1"))
     return cfg
 
 

@@ -336,21 +336,9 @@ class OptimConfig:
     pyramid_cache: bool = True
     pyramid_cycle_steps: int = 400
     pyramid_burst_steps: int = 40
-    # Run the point-attribute Adam over FLATTENED (1-D) leaves.  Idea: XLA
-    # TPU tiles 2-D f32 arrays at T(8,128), so the [N,3]/[N,1] leaves'
-    # moments and update math would move up to 42x/128x the logical bytes.
-    # MEASURED DEAD END (round 3): bench 22202 -> 20413 rays/s — the
-    # flat<->shaped relayout copies on the params and gradients cost more
-    # than the padded update saves (XLA evidently already handles the
-    # shaped adam efficiently).  Knob kept for the A/B
-    # (BENCH_FLAT_ADAM; bitwise-equal math, TestFlatPointAdam).
-    flat_point_adam: bool = False
-    # Fused Pallas Adam over the stacked point table (ops/pallas_adam.py):
-    # both moment EMAs + bias correction + the param apply in ONE pipelined
-    # HBM pass with in-place aliased buffers, replacing optax's multi-fusion
-    # lowering.  TPU-only; optax fallback elsewhere (same math and state
-    # structure — TestPallasAdam asserts parity).
-    pallas_point_adam: bool = False
+    # Two retired point-Adam variants (a flattened 1-D leaf layout and a
+    # fused Pallas kernel, both measured slower than optax's fused lowering)
+    # live in tools/pallas_adam.py with their parity tests — CLAUDE.md r3 log.
 
 
 @dataclass(frozen=True)
@@ -565,6 +553,37 @@ def tiny_test() -> Config:
         blur=BlurConfig(add_blur_sim=True, blur_kernel_size=5, move_dists=(1, 2)),
         image_hw=(48, 64),
     )
+
+
+def apply_blur_overrides(cfg: Config, blur_mode: str = "preset",
+                         frame_weight: int = -1) -> Config:
+    """CLI-level overrides for the blur-handling A/B/C matrix
+    (reference dev_scripts differ from each other in exactly these flags:
+    add_blur_sim / learnable_blur_kernel / use_frame_weight — SURVEY §5
+    config system).  blur_mode: 'preset' keeps the preset's setting;
+    'off'/'bank'/'learnable' force the respective simulation.  frame_weight:
+    -1 preset, 0 off, 1 on."""
+    if blur_mode == "off":
+        cfg = cfg.replace(
+            blur=dataclasses.replace(cfg.blur, add_blur_sim=False,
+                                     learnable=False),
+            agg=dataclasses.replace(cfg.agg, learnable_blur_kernel=False))
+    elif blur_mode == "bank":
+        cfg = cfg.replace(
+            blur=dataclasses.replace(cfg.blur, add_blur_sim=True,
+                                     learnable=False),
+            agg=dataclasses.replace(cfg.agg, learnable_blur_kernel=False))
+    elif blur_mode == "learnable":
+        cfg = cfg.replace(
+            blur=dataclasses.replace(cfg.blur, add_blur_sim=True,
+                                     learnable=True),
+            agg=dataclasses.replace(cfg.agg, learnable_blur_kernel=True))
+    elif blur_mode != "preset":
+        raise KeyError(f"unknown blur_mode {blur_mode}")
+    if frame_weight >= 0:
+        cfg = cfg.replace(loss=dataclasses.replace(
+            cfg.loss, use_frame_weight=bool(frame_weight)))
+    return cfg
 
 
 PRESETS = {

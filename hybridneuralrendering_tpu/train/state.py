@@ -51,49 +51,12 @@ def point_param_tree(points: npts.NeuralPoints, cfg: Config) -> Dict:
 
     Frozen attributes receive exactly-zero gradients (stop_gradient in
     neural_points.gather), so their lanes never move under Adam; when no
-    attribute is trainable the tree is empty.  flat_point_adam optionally
-    flattens the leaf (measured dead end, kept for A/B)."""
+    attribute is trainable the tree is empty.  (Two measured-dead-end
+    layout/kernel alternatives — a flattened 1-D leaf and a fused Pallas
+    Adam — live in tools/; see the CLAUDE.md round-3 perf log.)"""
     if not any(points.trainable):
         return {}
-    leaf = points.table
-    return {"table": leaf.reshape(-1) if cfg.optim.flat_point_adam else leaf}
-
-
-def fused_point_adam_apply(pts_tree: Dict, g_pts: Dict, opt_state,
-                           cfg: Config):
-    """One fused Pallas Adam step over the point table (ops/pallas_adam.py).
-
-    Drop-in for `opt_pts.update` + the param add: unpacks optax.adam's own
-    (ScaleByAdamState, ScaleByScheduleState) and returns the same structure,
-    so checkpoints and the optax fallback interoperate freely."""
-    from hybridneuralrendering_tpu.ops import pallas_adam
-
-    adam_st, sched_st = opt_state
-    sched = lr_schedule(cfg.optim.plr, cfg.optim)
-    scalars = pallas_adam.adam_scalars(
-        adam_st.count, sched_st.count, sched,
-        cfg.optim.beta1, cfg.optim.beta2)
-    p, mu, nu = pallas_adam.adam_table_update(
-        pts_tree["table"], g_pts["table"],
-        adam_st.mu["table"], adam_st.nu["table"], scalars)
-    new_state = (adam_st._replace(count=adam_st.count + 1,
-                                  mu={"table": mu}, nu={"table": nu}),
-                 sched_st._replace(count=sched_st.count + 1))
-    return {"table": p}, new_state
-
-
-def use_fused_point_adam(cfg: Config, pts_tree: Dict) -> bool:
-    """Trace-time dispatch: fused kernel only on TPU, only for the standard
-    single-leaf shaped table whose row count splits into whole blocks."""
-    if not (cfg.optim.pallas_point_adam
-            and set(pts_tree.keys()) == {"table"}
-            and pts_tree["table"].ndim == 2):
-        return False
-    import jax
-
-    from hybridneuralrendering_tpu.ops import pallas_adam
-    return (jax.default_backend() == "tpu"
-            and pallas_adam.pick_block(pts_tree["table"].shape[0]) is not None)
+    return {"table": points.table}
 
 
 def merge_point_params(points: npts.NeuralPoints, tree: Dict) -> npts.NeuralPoints:

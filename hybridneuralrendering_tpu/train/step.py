@@ -138,13 +138,9 @@ def _apply_updates(train_state: TrainState, pts_tree: Dict,
                                     train_state.params)
     params = jax.tree_util.tree_map(lambda p, u: p + u,
                                     train_state.params, up_net)
-    if state_mod.use_fused_point_adam(cfg, pts_tree):
-        pts_tree, os_pts = state_mod.fused_point_adam_apply(
-            pts_tree, g_pts, train_state.opt_state_pts, cfg)
-    else:
-        up_pts, os_pts = opt_pts.update(g_pts, train_state.opt_state_pts,
-                                        pts_tree)
-        pts_tree = jax.tree_util.tree_map(lambda p, u: p + u, pts_tree, up_pts)
+    up_pts, os_pts = opt_pts.update(g_pts, train_state.opt_state_pts,
+                                    pts_tree)
+    pts_tree = jax.tree_util.tree_map(lambda p, u: p + u, pts_tree, up_pts)
     points = state_mod.merge_point_params(train_state.points, pts_tree)
     return TrainState(
         step=train_state.step + 1, params=params, points=points,

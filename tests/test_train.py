@@ -247,126 +247,3 @@ class TestMultiFrame:
                                           grid, batches, cfg, key, kernels)
         np.testing.assert_allclose(
             float(multi), (float(m0) + float(m1)) / 2, rtol=1e-4)
-
-
-class TestFlatPointAdam:
-    def test_flat_leaves_match_shaped_leaves(self):
-        """flat_point_adam only changes the optimizer leaves' LAYOUT (1-D vs
-        [N,·]); the update math is elementwise so step results must match
-        bitwise."""
-        import dataclasses
-
-        from hybridneuralrendering_tpu import config as C
-        from hybridneuralrendering_tpu.data.synthetic import (
-            make_synthetic_batch, make_synthetic_scene)
-        from hybridneuralrendering_tpu.models import renderer
-        from hybridneuralrendering_tpu.train import state as state_mod
-        from hybridneuralrendering_tpu.train import step as step_mod
-
-        cfg0 = C.tiny_test()
-        cfgs = [cfg0.replace(optim=dataclasses.replace(
-            cfg0.optim, flat_point_adam=f)) for f in (False, True)]
-        points, grid = make_synthetic_scene(cfgs[0], num_points=512)
-        batch = make_synthetic_batch(cfgs[0])
-        params = renderer.init_params(jax.random.PRNGKey(0), cfgs[0])
-
-        outs = []
-        for cfg in cfgs:
-            pts_i = jax.tree_util.tree_map(jnp.array, points)
-            params_i = jax.tree_util.tree_map(jnp.array, params)
-            ts = state_mod.create_train_state(params_i, pts_i, cfg)
-            for i in range(2):
-                ts, items = step_mod.train_step(
-                    ts, grid, batch, jax.random.PRNGKey(i), None, cfg)
-            outs.append((float(items["loss_total"]),
-                         np.asarray(ts.points.xyz),
-                         np.asarray(ts.points.conf)))
-        assert outs[0][0] == outs[1][0]
-        np.testing.assert_array_equal(outs[0][1], outs[1][1])
-        np.testing.assert_array_equal(outs[0][2], outs[1][2])
-
-
-class TestPallasAdam:
-    def test_kernel_matches_optax_adam(self):
-        """The fused kernel (interpret mode) reproduces optax.adam's update —
-        moments, bias correction, schedule — over several accumulating steps."""
-        import optax
-
-        from hybridneuralrendering_tpu.ops import pallas_adam
-        from hybridneuralrendering_tpu.train import state as state_mod
-
-        N, F = 192, 64
-        cfg = __import__("hybridneuralrendering_tpu.config",
-                         fromlist=["tiny_test"]).tiny_test().optim
-        sched = state_mod.lr_schedule(cfg.plr, cfg)
-        opt = optax.adam(sched, b1=cfg.beta1, b2=cfg.beta2)
-
-        key = jax.random.PRNGKey(3)
-        p_ref = {"table": jax.random.normal(key, (N, F))}
-        st_ref = opt.init(p_ref)
-        p_fu = {"table": p_ref["table"]}
-        adam_st, sched_st = opt.init(p_fu)
-        mu, nu = adam_st.mu["table"], adam_st.nu["table"]
-
-        for i in range(4):
-            g = jax.random.normal(jax.random.PRNGKey(10 + i), (N, F))
-            up, st_ref = opt.update({"table": g}, st_ref, p_ref)
-            p_ref = jax.tree_util.tree_map(lambda p, u: p + u, p_ref, up)
-
-            scalars = pallas_adam.adam_scalars(
-                adam_st.count, sched_st.count, sched, cfg.beta1, cfg.beta2)
-            pt, mu, nu = pallas_adam.adam_table_update(
-                p_fu["table"], g, mu, nu, scalars, interpret=True)
-            p_fu = {"table": pt}
-            adam_st = adam_st._replace(count=adam_st.count + 1)
-            sched_st = sched_st._replace(count=sched_st.count + 1)
-
-            np.testing.assert_allclose(np.asarray(p_fu["table"]),
-                                       np.asarray(p_ref["table"]),
-                                       rtol=2e-6, atol=2e-7)
-        np.testing.assert_allclose(np.asarray(mu),
-                                   np.asarray(st_ref[0].mu["table"]),
-                                   rtol=2e-6, atol=2e-7)
-        np.testing.assert_allclose(np.asarray(nu),
-                                   np.asarray(st_ref[0].nu["table"]),
-                                   rtol=2e-6, atol=2e-7)
-
-    def test_state_wrapper_matches_optax_structure(self):
-        """fused_point_adam_apply returns optax.adam's exact state structure
-        (checkpoint-compatible), and on non-TPU backends the dispatch
-        predicate keeps the optax path."""
-        import dataclasses
-
-        import optax
-
-        from hybridneuralrendering_tpu import config as C
-        from hybridneuralrendering_tpu.train import state as state_mod
-
-        cfg0 = C.tiny_test()
-        cfg = cfg0.replace(optim=dataclasses.replace(
-            cfg0.optim, pallas_point_adam=True))
-        pts_tree = {"table": jnp.zeros((64, 64))}
-        # CPU backend -> fused path must NOT be selected
-        assert not state_mod.use_fused_point_adam(cfg, pts_tree)
-
-        # structure check via the interpreter kernel
-        _, opt_pts = state_mod.make_optimizers(cfg.optim)
-        st = opt_pts.init(pts_tree)
-        g = {"table": jnp.ones((64, 64))}
-        from hybridneuralrendering_tpu.ops import pallas_adam
-        sched = state_mod.lr_schedule(cfg.optim.plr, cfg.optim)
-        scalars = pallas_adam.adam_scalars(
-            st[0].count, st[1].count, sched, cfg.optim.beta1, cfg.optim.beta2)
-        p, mu, nu = pallas_adam.adam_table_update(
-            pts_tree["table"], g["table"], st[0].mu["table"],
-            st[0].nu["table"], scalars, interpret=True)
-        new_state = (st[0]._replace(count=st[0].count + 1,
-                                    mu={"table": mu}, nu={"table": nu}),
-                     st[1]._replace(count=st[1].count + 1))
-        assert (jax.tree_util.tree_structure(new_state)
-                == jax.tree_util.tree_structure(st))
-        up, st2 = opt_pts.update(g, st, pts_tree)
-        np.testing.assert_allclose(
-            np.asarray(p), np.asarray(pts_tree["table"] + up["table"]),
-            rtol=2e-6, atol=2e-7)
-        assert int(new_state[0].count) == int(st2[0].count)

@@ -13,7 +13,8 @@ RESULT: unusable through the axon tunnel — all variants report 0.06-0.34 ms
 for a >=600 MB/step update (>> HBM bandwidth), i.e. sub-ms chained loops
 still get elided/overlapped despite donation (CLAUDE.md measurement rule,
 now confirmed to extend to chained DONATED loops at sub-ms scales).  The
-layout decision is made by bench.py A/B via BENCH_FLAT_ADAM instead.
+layout decision was made by a bench.py A/B (flat layout: dead end, -8%;
+knob since retired to tools/pallas_adam.py per VERDICT r3 #8).
 """
 import json
 import os
