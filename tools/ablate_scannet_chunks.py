@@ -9,13 +9,15 @@ steady-state blend.  Chained full steps per the axon timing rule.
 import dataclasses
 import json
 import os
+import sys
 import time
 
 import jax
 import jax.numpy as jnp
 
-cache_dir = os.path.join(os.path.dirname(os.path.dirname(
-    os.path.abspath(__file__))), ".jax_cache")
+_repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _repo)    # for `import bench` from any cwd
+cache_dir = os.path.join(_repo, ".jax_cache")
 jax.config.update("jax_compilation_cache_dir", cache_dir)
 
 from hybridneuralrendering_tpu.data.synthetic import (make_synthetic_batch,
@@ -70,10 +72,12 @@ def run(tag, nc, remat, iters=12):
 
 
 if __name__ == "__main__":
-    run("nc1_noremat (shipped)", 1, False)
-    run("nc4_noremat", 4, False)
-    run("nc8_noremat", 8, False)
-    run("nc8_remat", 8, True)
-    run("nc16_remat", 16, True)
-    # re-run baseline to bracket drift
-    run("nc1_noremat (repeat)", 1, False)
+    # two interleaved passes over the configs (compiles cache after pass 1),
+    # so per-config pairs bracket clock drift — the repo's bench noise rule
+    # (±3%) and the shuffled-repeat protocol ablate_nerf_chunks used
+    configs = [("nc1_noremat (shipped)", 1, False), ("nc4_noremat", 4, False),
+               ("nc8_noremat", 8, False), ("nc8_remat", 8, True),
+               ("nc16_remat", 16, True)]
+    for rep in range(2):
+        for tag, nc, remat in configs:
+            run(f"{tag} pass{rep}", nc, remat)

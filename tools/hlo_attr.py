@@ -65,6 +65,8 @@ def main():
     ap.add_argument("--cached", action="store_true")
     ap.add_argument("--hlo", default=None,
                     help="reuse a previously dumped HLO file")
+    ap.add_argument("--refresh", action="store_true",
+                    help="re-lower even if a previous dump exists")
     ap.add_argument("--lines", type=int, default=14,
                     help="max body lines to print per computation")
     args = ap.parse_args()
@@ -73,7 +75,11 @@ def main():
                         else "/tmp/hlo_uncached.txt")
     if args.hlo and os.path.exists(args.hlo):
         hlo = open(args.hlo).read()
-    elif os.path.exists(path) and args.names:
+    elif os.path.exists(path) and args.names and not args.refresh:
+        import time as _time
+        age_min = (_time.time() - os.path.getmtime(path)) / 60
+        print(f"# reusing {path} (dumped {age_min:.0f} min ago; pass "
+              f"--refresh after code changes)")
         hlo = open(path).read()
     else:
         hlo = get_hlo(args.cached)
