@@ -26,6 +26,10 @@ def build_argparser():
     p.add_argument("--with-lpips", action="store_true")
     p.add_argument("--eval-chunk", type=int, default=0,
                    help="override sampling.eval_chunk_rays (0 = preset)")
+    p.add_argument("--blur-mode", default="preset",
+                   choices=("preset", "off", "bank", "learnable"),
+                   help="must match the training run (the learnable mode "
+                        "adds a blur-kernel MLP to the checkpointed params)")
     return p
 
 
@@ -66,6 +70,7 @@ def main(argv=None):
         cfg = C.PRESETS[args.preset](args.scan)
     except TypeError:
         cfg = C.PRESETS[args.preset]()
+    cfg = C.apply_blur_overrides(cfg, args.blur_mode)
     if args.eval_chunk:
         import dataclasses
         cfg = cfg.replace(sampling=dataclasses.replace(

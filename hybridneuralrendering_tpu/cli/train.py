@@ -60,6 +60,20 @@ def build_argparser():
     p.add_argument("--frames-per-step", type=int, default=1,
                    help=">1 vmaps several frames' ray batches into one "
                         "optimizer step (larger effective batch)")
+    p.add_argument("--drop-box", type=float, nargs=6, default=None,
+                   metavar=("X0", "Y0", "Z0", "X1", "Y1", "Z1"),
+                   help="delete bootstrap points inside this world AABB — "
+                        "creates a deliberate hole so the probe/grow "
+                        "lifecycle has something to repair (lifecycle "
+                        "evidence runs, VERDICT r3 #2)")
+    p.add_argument("--blur-mode", default="preset",
+                   choices=("preset", "off", "bank", "learnable"),
+                   help="override the preset's blur simulation (the A/B/C "
+                        "axis the reference dev_scripts vary)")
+    p.add_argument("--frame-weight", type=int, default=-1,
+                   choices=(-1, 0, 1),
+                   help="override quality-aware frame weights "
+                        "(-1 preset, 0 off, 1 on)")
     return p
 
 
@@ -158,6 +172,7 @@ def evaluate(params, points, grid, test_ds, cfg, vis, step, num_frames):
         vis.save_image(img, step, f"test{fi:03d}-coarse_raycolor")
     mean_psnr = float(np.mean(psnrs))
     vis.log(f"eval step {step}: PSNR {mean_psnr:.3f} over {len(psnrs)} frames")
+    vis.add_scalar(step, "eval_psnr", mean_psnr)
     return mean_psnr
 
 
@@ -267,6 +282,7 @@ def main(argv=None):
         cfg = C.PRESETS[args.preset](args.scan)
     except TypeError:
         cfg = C.PRESETS[args.preset]()
+    cfg = C.apply_blur_overrides(cfg, args.blur_mode, args.frame_weight)
     name = args.name or cfg.name
     vis = Visualizer(args.checkpoints_dir, name)
     ckpt_dir = os.path.join(args.checkpoints_dir, name, "ckpt")
@@ -289,6 +305,14 @@ def main(argv=None):
     vis.log(f"bootstrapping points (mode {args.load_points})...")
     xyz, attrs = bootstrap_points(args, train_ds, cfg, key)
     vis.log(f"init cloud: {len(xyz)} points")
+    if args.drop_box is not None:
+        lo, hi = np.asarray(args.drop_box[:3]), np.asarray(args.drop_box[3:])
+        inside = np.all((xyz >= lo) & (xyz <= hi), axis=1)
+        xyz = xyz[~inside]
+        if attrs is not None:
+            attrs = {k: v[~inside] for k, v in attrs.items()}
+        vis.log(f"drop-box removed {int(inside.sum())} points "
+                f"(hole for lifecycle runs; {len(xyz)} remain)")
     if attrs is not None and len(xyz) > cfg.points.num_points:
         keep = rng.choice(len(xyz), cfg.points.num_points, replace=False)
         xyz = xyz[keep]
@@ -466,6 +490,8 @@ def main(argv=None):
             ts = ts._replace(points=pts)
             vis.log(f"pruned {before - int(pts.num_live)} points at "
                     f"step {step} (live: {int(pts.num_live)})")
+            vis.add_scalar(step, "pruned_points", before - int(pts.num_live))
+            vis.add_scalar(step, "num_points", int(pts.num_live))
 
         if prob_freq > 0 and step % prob_freq == 0 and step < max_steps:
             # per-tier probe schedule (run/train_ft.py:878-903): tier from
@@ -488,6 +514,9 @@ def main(argv=None):
                     grid = new_grid
                     vis.log(f"grew {n_added} points "
                             f"(live: {int(ts.points.num_live)})")
+                    vis.add_scalar(step, "grown_points", n_added)
+                    vis.add_scalar(step, "num_points",
+                                   int(ts.points.num_live))
 
     ckpt_mod.save_checkpoint(ckpt_dir, ts, best_psnr)
     vis.log(f"done: {max_steps} steps, best PSNR {best_psnr:.3f}")

@@ -145,3 +145,41 @@ class TestDynamicNearest:
         np.testing.assert_allclose(np.asarray(out4["coarse_raycolor"]),
                                    np.asarray(out2["coarse_raycolor"]),
                                    atol=1e-5)
+
+
+class TestBlurOverrides:
+    def test_matrix_axes(self):
+        """apply_blur_overrides drives exactly the three flags the reference
+        dev_scripts vary (add_blur_sim / learnable_blur_kernel /
+        use_frame_weight)."""
+        from hybridneuralrendering_tpu import config as C
+
+        base = C.scannet_full()
+        off = C.apply_blur_overrides(base, "off", 0)
+        assert not off.blur.add_blur_sim
+        assert not off.agg.learnable_blur_kernel
+        assert not off.loss.use_frame_weight
+
+        bank = C.apply_blur_overrides(off, "bank", 1)
+        assert bank.blur.add_blur_sim and not bank.agg.learnable_blur_kernel
+        assert bank.loss.use_frame_weight
+
+        lrn = C.apply_blur_overrides(base, "learnable", -1)
+        assert lrn.agg.learnable_blur_kernel and lrn.blur.add_blur_sim
+        assert lrn.loss.use_frame_weight == base.loss.use_frame_weight
+
+        same = C.apply_blur_overrides(base, "preset", -1)
+        assert same == base
+
+    def test_learnable_mode_adds_blur_mlp_params(self):
+        import jax
+
+        from hybridneuralrendering_tpu import config as C
+        from hybridneuralrendering_tpu.models import renderer
+
+        cfg = C.apply_blur_overrides(C.tiny_test(), "learnable")
+        params = renderer.init_params(jax.random.PRNGKey(0), cfg)
+        assert "blur_kernel" in params["aggregator"]
+        plain = renderer.init_params(
+            jax.random.PRNGKey(0), C.apply_blur_overrides(cfg, "bank"))
+        assert "blur_kernel" not in plain["aggregator"]

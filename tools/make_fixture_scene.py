@@ -230,6 +230,35 @@ def make_blender_fixture(out, scan, n_train, n_test, H, W, seed=0):
     print(f"wrote blender fixture to {root}")
 
 
+def _axis_rotation(axis: np.ndarray, angle: float) -> np.ndarray:
+    """Rodrigues rotation matrix about a unit axis."""
+    K = np.array([[0, -axis[2], axis[1]],
+                  [axis[2], 0, -axis[0]],
+                  [-axis[1], axis[0], 0]])
+    return np.eye(3) + np.sin(angle) * K + (1 - np.cos(angle)) * (K @ K)
+
+
+def render_motion_blurred(c2w, intr, H, W, total_deg, taps, rng):
+    """True motion blur: average `taps` raycasts along a small camera
+    rotation sweep (the degradation the reference's blur module targets —
+    linear camera-motion streaks, scannet_ft_dataset.py:184-242's kernel
+    model; here the blur is generated by actual multi-pose rendering, NOT by
+    convolving with the bank's own kernels, so the A/B is honest).
+    Returns (blurred rgb, streak length in pixels)."""
+    phi = rng.uniform(0, 2 * np.pi)
+    # axis in the camera's right/up plane -> image-space streak at angle phi
+    axis_cam = np.array([np.cos(phi), np.sin(phi), 0.0])
+    axis_w = c2w[:3, :3] @ axis_cam
+    theta = np.deg2rad(total_deg)
+    acc = None
+    for t in np.linspace(-0.5, 0.5, taps):
+        Rd = _axis_rotation(axis_w, t * theta)
+        rgb, _ = raycast(c2w[:3, 3], Rd @ c2w[:3, :3], intr, H, W)
+        acc = rgb if acc is None else acc + rgb
+    f = intr[0, 0]
+    return acc / taps, float(f * theta)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", required=True)
@@ -239,6 +268,18 @@ def main():
     ap.add_argument("--hw", type=int, nargs=2, default=(240, 320))
     ap.add_argument("--layout", choices=("scannet", "blender"),
                     default="scannet")
+    ap.add_argument("--blur-frac", type=float, default=0.0,
+                    help="motion-blur this fraction of TRAINING frames "
+                         "(every --train-step'th frame); test frames stay "
+                         "sharp — the reference's degradation scenario")
+    ap.add_argument("--blur-deg", type=float, default=1.6,
+                    help="total camera rotation during exposure (degrees); "
+                         "1.6 deg ~ 8 px streak at the default intrinsics")
+    ap.add_argument("--blur-taps", type=int, default=16,
+                    help="sub-exposure renders averaged per blurred frame")
+    ap.add_argument("--train-step", type=int, default=5,
+                    help="every-Nth-frame-trains split (loader default 5)")
+    ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
     if args.layout == "blender":
         H, W = args.hw
@@ -259,14 +300,35 @@ def main():
     np.savetxt(os.path.join(base, "intrinsic/intrinsic_color.txt"), k4)
     np.savetxt(os.path.join(base, "intrinsic/intrinsic_depth.txt"), k4)
 
+    rng = np.random.default_rng(args.seed)
+    train_ids = list(range(0, args.frames, args.train_step))
+    n_blur = int(round(args.blur_frac * len(train_ids)))
+    blur_ids = sorted(rng.choice(train_ids, n_blur, replace=False).tolist()) \
+        if n_blur else []
+    blur_info = {}
     for i, c2w in enumerate(camera_path(args.frames)):
         rgb, z = raycast(c2w[:3, 3], c2w[:3, :3], intr, H, W)
+        if i in blur_ids:
+            # depth stays the sharp center-pose render (a sensor snapshot);
+            # only the color frame is degraded
+            rgb, streak_px = render_motion_blurred(
+                c2w, intr, H, W, args.blur_deg, args.blur_taps, rng)
+            blur_info[i] = round(streak_px, 2)
         np.savetxt(os.path.join(base, f"pose/{i}.txt"), c2w)
         Image.fromarray((rgb * 255).astype(np.uint8)).save(
             os.path.join(base, f"color/{i}.jpg"), quality=97)
         imageio.imwrite(os.path.join(base, f"depth/{i}.png"),
                         (z * 1000).astype(np.uint16))
         print(f"frame {i + 1}/{args.frames}", end="\r")
+    if blur_ids:
+        import json
+        with open(os.path.join(args.out, args.scan, "blur_info.json"),
+                  "w") as f:
+            json.dump({"blurred_train_frames": blur_info,
+                       "blur_deg": args.blur_deg,
+                       "train_step": args.train_step}, f, indent=1)
+        print(f"\nmotion-blurred {len(blur_ids)} of {len(train_ids)} "
+              f"train frames: {blur_ids}")
     print(f"\nwrote {args.frames} frames to {base}")
 
 
