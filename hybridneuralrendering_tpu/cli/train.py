@@ -44,6 +44,17 @@ def build_argparser():
     p.add_argument("--save-freq", type=int, default=10_000)
     p.add_argument("--print-freq", type=int, default=40)
     p.add_argument("--prob-freq", type=int, default=None)
+    p.add_argument("--prob-frames", type=int, default=0,
+                   help="frames probed per grow event (0 = preset's "
+                        "len(dataset)/prob_num_step rule)")
+    p.add_argument("--prune-iter", type=int, default=None,
+                   help="override ProbeConfig.prune_iter (steps between "
+                        "conf-threshold prunes; -1 disables)")
+    p.add_argument("--prune-thresh", type=float, default=None)
+    p.add_argument("--lr-decay-iters", type=int, default=None,
+                   help="override OptimConfig.lr_decay_iters (scale the "
+                        "reference's 200k-step decay profile onto shorter "
+                        "budget runs)")
     p.add_argument("--test-num", type=int, default=10)
     p.add_argument("--resume", action="store_true")
     p.add_argument("--seed", type=int, default=0)
@@ -283,6 +294,18 @@ def main(argv=None):
     except TypeError:
         cfg = C.PRESETS[args.preset]()
     cfg = C.apply_blur_overrides(cfg, args.blur_mode, args.frame_weight)
+    if args.prune_iter is not None or args.prune_thresh is not None:
+        import dataclasses
+        pr = cfg.probe
+        if args.prune_iter is not None:
+            pr = dataclasses.replace(pr, prune_iter=args.prune_iter)
+        if args.prune_thresh is not None:
+            pr = dataclasses.replace(pr, prune_thresh=args.prune_thresh)
+        cfg = cfg.replace(probe=pr)
+    if args.lr_decay_iters is not None:
+        import dataclasses
+        cfg = cfg.replace(optim=dataclasses.replace(
+            cfg.optim, lr_decay_iters=args.lr_decay_iters))
     name = args.name or cfg.name
     vis = Visualizer(args.checkpoints_dir, name)
     ckpt_dir = os.path.join(args.checkpoints_dir, name, "ckpt")
@@ -507,6 +530,7 @@ def main(argv=None):
                         f"(tier {tier}, query_size {qs})...")
                 new_points, new_grid, n_added = lifecycle.probe_and_grow(
                     ts.params, ts.points, grid, train_ds, cfg, tracker,
+                    max_frames=args.prob_frames or None,
                     rng=rng, query_size_override=qs)
                 if n_added > 0:
                     ts = ts._replace(points=new_points)

@@ -1,0 +1,28 @@
+#!/bin/bash
+# Reference-budget-scale run (VERDICT r3 #5): 20k steps (10% of the
+# reference's 200k protocol, scene241_full.sh:123-135) on the ScanNet-layout
+# fixture with the lifecycle active, eval every 2.5k, and the LR decay
+# profile scaled to the budget (reference: decay_iters=1M over 200k steps ->
+# 100k over 20k).  Evidence = PSNR-vs-step curve from scalars.jsonl,
+# best-PSNR checkpoint tracking, late-training stability.
+#   bash tools/run_budget.sh [steps]
+set -u
+cd "$(dirname "$0")/.."
+export PYTHONPATH=/root/repo:/root/.axon_site
+STEPS=${1:-20000}
+CKPT=.fixture/ckpts_r4
+
+echo "=== roomsim_budget ($STEPS steps) ==="
+timeout 14400 python -m hybridneuralrendering_tpu.cli.train \
+  --preset fixture_room --data-root .fixture --scan roomsim \
+  --checkpoints-dir "$CKPT" --name roomsim_budget \
+  --max-steps "$STEPS" --test-freq 2500 --test-num 8 \
+  --lr-decay-iters $((STEPS * 5)) \
+  --prob-freq 2000 --prob-frames 2 --prune-iter 3000 --prune-thresh 0.1 \
+  || { echo "TRAIN FAILED"; exit 1; }
+timeout 1800 python -m hybridneuralrendering_tpu.cli.test \
+  --preset fixture_room --data-root .fixture --scan roomsim \
+  --checkpoints-dir "$CKPT" --name roomsim_budget
+echo "--- scores ---"
+cat "$CKPT/roomsim_budget_test/scores.txt"
+echo "ALL DONE"
