@@ -20,14 +20,28 @@ import os
 import numpy as np
 
 
+_TEXTURE_MODE = "classic"
+
+
 def _texture(u, v, seed):
-    """Smooth multi-frequency color texture over plane coords (u, v)."""
+    """Multi-frequency color texture over plane coords (u, v).
+
+    'classic' (the round-2/3 fixture scenes): bands k=1..5, max ~10
+    cycles/unit — smooth enough that a 10-px motion blur barely changes it.
+    'hf' adds bands up to k=12 (~24 cycles/unit, ~4-px period on the wall at
+    the default intrinsics): resolvable by pointwise sampling but destroyed
+    by a 8-13 px blur streak — the regime where blur-aware training has
+    something to protect (the blur-evidence scenes)."""
     rng = np.random.default_rng(seed)
     out = np.zeros(u.shape + (3,), np.float32)
-    for k in range(1, 6):
+    kmax = 12 if _TEXTURE_MODE == "hf" else 5
+    for k in range(1, kmax + 1):
         fu, fv = rng.uniform(0.5, 2.0, 2) * k
         pu, pv = rng.uniform(0, 2 * np.pi, 2)
-        amp = rng.uniform(0.05, 0.25, 3) / k
+        # classic bands fall off as 1/k; the hf bands (k>5) keep a constant
+        # moderate amplitude so fine detail carries real contrast
+        amp = (rng.uniform(0.05, 0.15, 3) if _TEXTURE_MODE == "hf" and k > 5
+               else rng.uniform(0.05, 0.25, 3) / k)
         base = np.sin(2 * np.pi * fu * u + pu) * np.cos(2 * np.pi * fv * v + pv)
         out += base[..., None] * amp
     return 0.5 + out
@@ -249,7 +263,8 @@ def render_motion_blurred(c2w, intr, H, W, total_deg, taps, rng):
     # axis in the camera's right/up plane -> image-space streak at angle phi
     axis_cam = np.array([np.cos(phi), np.sin(phi), 0.0])
     axis_w = c2w[:3, :3] @ axis_cam
-    theta = np.deg2rad(total_deg)
+    # per-frame magnitude jitter: hand-held shake is not uniform
+    theta = np.deg2rad(total_deg) * rng.uniform(0.6, 1.4)
     acc = None
     for t in np.linspace(-0.5, 0.5, taps):
         Rd = _axis_rotation(axis_w, t * theta)
@@ -279,8 +294,13 @@ def main():
                     help="sub-exposure renders averaged per blurred frame")
     ap.add_argument("--train-step", type=int, default=5,
                     help="every-Nth-frame-trains split (loader default 5)")
+    ap.add_argument("--texture", choices=("classic", "hf"), default="classic",
+                    help="'hf' adds high-frequency texture bands (see "
+                         "_texture) — required for meaningful blur A/Bs")
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
+    global _TEXTURE_MODE
+    _TEXTURE_MODE = args.texture
     if args.layout == "blender":
         H, W = args.hw
         make_blender_fixture(args.out, args.scan, args.frames,

@@ -28,14 +28,15 @@ run_one () {  # scan blur_mode fw name
   cat "$CKPT/${name}_test/scores.txt"
 }
 
-# blurry-data matrix: mode x frame-weights
-run_one roomblur off       0 roomblur_off
-run_one roomblur bank      0 roomblur_bank
-run_one roomblur learnable 0 roomblur_lrn
-run_one roomblur off       1 roomblur_off_fw
-run_one roomblur bank      1 roomblur_bank_fw
-run_one roomblur learnable 1 roomblur_lrn_fw
-# sharp-data controls: blur handling should be ~neutral
-run_one roomsim  off       0 roomsim_off
-run_one roomsim  bank      0 roomsim_bank
+# blurry-data matrix (high-frequency texture, 6/8 train frames motion-
+# blurred at 7.6-16.9 px): mode x frame-weights
+run_one roomhfblur off       0 hfblur_off
+run_one roomhfblur bank      0 hfblur_bank
+run_one roomhfblur learnable 0 hfblur_lrn
+run_one roomhfblur off       1 hfblur_off_fw
+run_one roomhfblur bank      1 hfblur_bank_fw
+run_one roomhfblur learnable 1 hfblur_lrn_fw
+# sharp-data controls (same texture, no blur): blur handling ~neutral
+run_one roomhf  off       0 hf_off
+run_one roomhf  bank      0 hf_bank
 echo "ALL DONE"
