@@ -39,15 +39,27 @@ def init(key, act: str = "leaky_relu", in_ch: int = 3) -> Dict:
 
 
 def apply_stages(params: Dict, images: jnp.ndarray, act: str = "leaky_relu",
-                 compute_dtype=None):
+                 compute_dtype=None, chain_dtype=None):
     """images: [V, H, W, 3] -> pre-upsample stage maps
     (s1 [V,H/2,W/2,6], s2 [V,H/4,W/4,12], s3 [V,H/8,W/8,24]).
 
     The pre-upsample maps are what the trainer caches per view: 16x smaller
     than the full-res 45-channel concat (6/4 + 12/16 + 24/64 = 2.6 channel-
-    equivalents vs 42), so a whole ScanNet train split fits on-device."""
+    equivalents vs 42), so a whole ScanNet train split fits on-device.
+
+    `chain_dtype` (cfg.agg.pyramid_dtype): cast params+images ONCE and keep
+    every intermediate map in that dtype — unlike `compute_dtype`, which
+    casts back to f32 after each conv, this halves inter-layer HBM traffic
+    (the maps lane-pad to 128 channels, so bytes dominate FLOPs here).
+    Stage maps come back in chain_dtype; consumers upcast at the per-sample
+    boundary."""
     f = mlp.activation(act)
     cdt = compute_dtype
+    if chain_dtype is not None:
+        params = jax.tree_util.tree_map(
+            lambda p: p.astype(chain_dtype), params)
+        images = images.astype(chain_dtype)
+        cdt = None
     s1 = f(mlp.conv2d_apply(params["s1a"], images, stride=2, compute_dtype=cdt))
     s1 = f(mlp.conv2d_apply(params["s1b"], s1, compute_dtype=cdt))
     s2 = f(mlp.conv2d_apply(params["s2a"], s1, stride=2, compute_dtype=cdt))
@@ -58,19 +70,25 @@ def apply_stages(params: Dict, images: jnp.ndarray, act: str = "leaky_relu",
 
 
 def apply(params: Dict, images: jnp.ndarray, act: str = "leaky_relu",
-          compute_dtype=None) -> jnp.ndarray:
-    """images: [V, H, W, 3] -> [V, H, W, 45] feature pyramid."""
+          compute_dtype=None, chain_dtype=None) -> jnp.ndarray:
+    """images: [V, H, W, 3] -> [V, H, W, 45] feature pyramid.
+
+    Under `chain_dtype` the upsampling and the concatenated full-res table
+    stay in that dtype too (the table is ~315 MB at V=4 f32 — the burst
+    step's biggest tensor); the fusion gather upcasts per-sample."""
     V, H, W, _ = images.shape
-    s1, s2, s3 = apply_stages(params, images, act, compute_dtype)
+    s1, s2, s3 = apply_stages(params, images, act, compute_dtype, chain_dtype)
+    img_part = images if chain_dtype is None else images.astype(chain_dtype)
     return jnp.concatenate([
-        images,
+        img_part,
         mlp.bilinear_resize(s1, H, W),
         mlp.bilinear_resize(s2, H, W),
         mlp.bilinear_resize(s3, H, W),
     ], axis=-1)
 
 
-def materialize(images: jnp.ndarray, stages, pad_to: int = 64) -> jnp.ndarray:
+def materialize(images: jnp.ndarray, stages, pad_to: int = 64,
+                dtype=None) -> jnp.ndarray:
     """Cached stage maps -> full-res [V, H, W, pad_to] feature map.
 
     Dense-VPU alternative to `gather_staged` for the per-step nearest views:
@@ -79,11 +97,13 @@ def materialize(images: jnp.ndarray, stages, pad_to: int = 64) -> jnp.ndarray:
     gathers per step.  Numerically identical to `apply` (same
     bilinear_resize + concat), so nearest-pixel lookups of the result match
     the uncached path exactly.  Zero-padded to a 64-lane multiple for the
-    row-gather lane rule (CLAUDE.md)."""
+    row-gather lane rule (CLAUDE.md).  `dtype` (cfg.agg.pyramid_dtype)
+    builds the table in bf16 — half the build traffic and gather bytes."""
     V, H, W, _ = images.shape
-    parts = [images]
+    td = images.dtype if dtype is None else dtype
+    parts = [images.astype(td)]
     for stage in stages:
-        parts.append(mlp.bilinear_resize(stage.astype(images.dtype), H, W))
+        parts.append(mlp.bilinear_resize(stage.astype(td), H, W))
     feat = jnp.concatenate(parts, axis=-1)
     pad = (-feat.shape[-1]) % pad_to
     if pad:

@@ -33,9 +33,11 @@ def image_fusion(params: Dict, cfg: AggregatorConfig, color_feature,
         return jnp.zeros(color_feature.shape[:-1] + (aux_c,), f32)
 
     from hybridneuralrendering_tpu.models import feature_pyramid
+    chain_dt = (jnp.bfloat16 if cfg.pyramid_dtype == "bfloat16" else None)
     if img_feat_staged is not None and cfg.staged_materialize:
         images_n, stages = img_feat_staged
-        img_feat_n = feature_pyramid.materialize(images_n, stages)
+        img_feat_n = feature_pyramid.materialize(images_n, stages,
+                                                 dtype=chain_dt)
         img_feat_staged = None
     if img_feat_staged is not None:
         images_n, stages = img_feat_staged

@@ -228,6 +228,12 @@ def _gather_rows_bwd(res, g):
         (flat_i, jnp.arange(m, dtype=jnp.int32)), num_keys=1,
         is_stable=True)
     sg = flat_g[order]
+    # low-precision tables (pyramid_dtype=bfloat16): accumulate the cumsum
+    # in f32 — a 301k-row bf16 running sum loses most of the gradient —
+    # and round only the final per-segment grad back to the table dtype
+    out_dtype = sg.dtype
+    if out_dtype in (jnp.bfloat16, jnp.float16):
+        sg = sg.astype(jnp.float32)
 
     # end_pos[p] = last sorted position with id <= p (inclusive cummax form).
     # si is sorted, so each id's segment END is the unique j where the next
@@ -279,7 +285,7 @@ def _gather_rows_bwd(res, g):
                   cs[jnp.maximum(end_pos, 0)], 0.0)      # [n, F]
     grad = e - jnp.concatenate([jnp.zeros_like(e[:1]), e[:-1]], axis=0)
     idx_ct = np.zeros(idx.shape, dtype=jax.dtypes.float0)
-    return grad, idx_ct
+    return grad.astype(out_dtype), idx_ct
 
 
 _gather_rows.defvjp(_gather_rows_fwd, _gather_rows_bwd)

@@ -34,26 +34,31 @@ def init_params(key, cfg: Config) -> Dict:
     return {"aggregator": agg.init(key, cfg.agg)}
 
 
+def _pyramid_dtypes(cfg: Config):
+    cdt = jnp.bfloat16 if cfg.agg.compute_dtype == "bfloat16" else None
+    chain = jnp.bfloat16 if cfg.agg.pyramid_dtype == "bfloat16" else None
+    return cdt, chain
+
+
 def compute_image_features(params: Dict, cfg: Config,
                            images_nearest: jnp.ndarray) -> jnp.ndarray:
     """[V, H, W, 3] -> [V, H, W, 45].  Split out so the trainer can cache
     per-image pyramids instead of recomputing each step (the reference
     recomputes every step — SURVEY hot-loop (c))."""
-    import jax.numpy as jnp
-    cdt = jnp.bfloat16 if cfg.agg.compute_dtype == "bfloat16" else None
+    cdt, chain = _pyramid_dtypes(cfg)
     return feature_pyramid.apply(params["aggregator"]["pyramid"],
                                  images_nearest, cfg.agg.act_type,
-                                 compute_dtype=cdt)
+                                 compute_dtype=cdt, chain_dtype=chain)
 
 
 def compute_image_feature_stages(params: Dict, cfg: Config,
                                  images_nearest: jnp.ndarray):
     """[V, H, W, 3] -> pre-upsample stage maps (s1, s2, s3) — the compact
     cacheable form (16x smaller than the 45-ch full-res concat)."""
-    cdt = jnp.bfloat16 if cfg.agg.compute_dtype == "bfloat16" else None
+    cdt, chain = _pyramid_dtypes(cfg)
     return feature_pyramid.apply_stages(params["aggregator"]["pyramid"],
                                         images_nearest, cfg.agg.act_type,
-                                        compute_dtype=cdt)
+                                        compute_dtype=cdt, chain_dtype=chain)
 
 
 def render(params: Dict, points: npts.NeuralPoints, grid: PointGrid,

@@ -153,6 +153,97 @@ class TestPyramidCache:
         assert np.isfinite(float(items["loss_total"]))
 
 
+class TestPyramidDtype:
+    """pyramid_dtype='bfloat16' keeps the whole pyramid chain (CNN, stage
+    maps, full-res table, row gathers) in bf16 (config.AggregatorConfig
+    pyramid_dtype; VERDICT r3 weak #1 — the CNN-burst step)."""
+
+    def _cfg_bf16(self, cfg):
+        return cfg.replace(agg=dataclasses.replace(
+            cfg.agg, pyramid_dtype="bfloat16"))
+
+    def test_uncached_loss_close_to_f32(self):
+        cfg, ts, grid, batch, kernels = setup()
+        pts_tree = state_mod.point_param_tree(ts.points, cfg)
+        key = jax.random.PRNGKey(3)
+        t32, _ = step_mod.loss_fn(
+            ts.params, pts_tree, ts.points, grid, batch, cfg, key, kernels)
+        t16, _ = step_mod.loss_fn(
+            ts.params, pts_tree, ts.points, grid, batch, self._cfg_bf16(cfg),
+            key, kernels)
+        assert np.isfinite(float(t16))
+        np.testing.assert_allclose(float(t16), float(t32), rtol=0.05)
+
+    def test_cached_materialize_matches_uncached_bf16(self):
+        """The bf16 cached table reproduces the bf16 uncached forward (the
+        staleness-alignment invariant holds per-dtype)."""
+        cfg, ts, grid, batch, kernels = setup()
+        cfg = self._cfg_bf16(cfg)
+        pts_tree = state_mod.point_param_tree(ts.points, cfg)
+        key = jax.random.PRNGKey(3)
+        t_unc, _ = step_mod.loss_fn(
+            ts.params, pts_tree, ts.points, grid, batch, cfg, key, kernels)
+        stages = renderer.compute_image_feature_stages(
+            ts.params, cfg, batch["images_nearest"])
+        assert all(s.dtype == jnp.bfloat16 for s in stages)
+        staged = (jnp.asarray(batch["images_nearest"]), stages)
+        t_cache, _ = step_mod.loss_fn(
+            ts.params, pts_tree, ts.points, grid, batch, cfg, key, kernels,
+            None, staged)
+        np.testing.assert_allclose(float(t_cache), float(t_unc),
+                                   rtol=2e-3, atol=1e-4)
+
+    def test_bf16_burst_step_trains_pyramid(self):
+        """Uncached bf16 steps still train the CNN: finite loss, pyramid
+        weights move, and the loss decreases over a few steps."""
+        cfg, ts, grid, batch, kernels = setup()
+        cfg = self._cfg_bf16(cfg)
+        pyr0 = jax.tree_util.tree_map(np.array,
+                                      ts.params["aggregator"]["pyramid"])
+        losses = []
+        for i in range(8):
+            ts, items = step_mod.train_step(
+                ts, grid, batch, jax.random.PRNGKey(i), kernels, cfg)
+            losses.append(float(items["loss_total"]))
+        assert all(np.isfinite(losses))
+        assert losses[-1] < losses[0], losses
+        moved = any(
+            np.abs(np.asarray(leaf["w"]) - pyr0[k]["w"]).sum() > 0
+            for k, leaf in ts.params["aggregator"]["pyramid"].items())
+        assert moved
+        # master weights stay f32
+        for leaf in jax.tree_util.tree_leaves(
+                ts.params["aggregator"]["pyramid"]):
+            assert leaf.dtype == jnp.float32
+
+    def test_gather_rows_bf16_backward_accumulates_f32(self):
+        """The sorted-cumsum gather backward on a bf16 table must not run
+        its 300k-row running sum in bf16 — compare against the exact
+        per-segment sums (scatter-add oracle in f64-ish f32)."""
+        from hybridneuralrendering_tpu.models.neural_points import \
+            _gather_rows
+        rng = np.random.RandomState(0)
+        n, m, F = 64, 20000, 8
+        # heavy duplication: every row hit ~300x, so a bf16 cumsum would
+        # plateau (1 + eps == 1 at ~256 for unit entries)
+        idx = jnp.asarray(rng.randint(0, n, size=(m,)), jnp.int32)
+        table = jnp.asarray(rng.randn(n, F), jnp.bfloat16)
+        ct = jnp.asarray(np.abs(rng.randn(m, F)) * 0.01, jnp.float32)
+
+        def f(t):
+            return jnp.sum(_gather_rows(t, idx) * ct)
+
+        g = jax.grad(f)(table)
+        assert g.dtype == jnp.bfloat16
+        exact = np.zeros((n, F), np.float32)
+        np.add.at(exact, np.asarray(idx), np.asarray(ct, np.float32))
+        rel = (np.abs(np.asarray(g, np.float32) - exact)
+               / (np.abs(exact) + 1e-6)).max()
+        # bf16 has ~2^-8 relative rounding on the FINAL cast only; a bf16
+        # accumulation would be off by O(1)
+        assert rel < 0.02, rel
+
+
 class TestMultiChip:
     def test_dryrun_8_devices(self):
         import sys

@@ -31,6 +31,10 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--cached", action="store_true",
                     help="profile the pyramid-cached step variant")
+    ap.add_argument("--workload", default="scannet",
+                    choices=("scannet", "nerf"),
+                    help="nerf = SR=80 R=3600 points-mode shapes "
+                         "(bench.bench_config_nerf)")
     ap.add_argument("--logdir", default="/tmp/jax_trace")
     ap.add_argument("--steps", type=int, default=3)
     ap.add_argument("--top", type=int, default=45)
@@ -44,12 +48,17 @@ def main():
     from hybridneuralrendering_tpu.train import step as step_mod
     import bench
 
-    cfg = bench.bench_config()
-    points, grid = make_synthetic_scene(cfg, num_points=bench.NUM_POINTS)
+    if args.workload == "nerf":
+        cfg = bench.bench_config_nerf()
+        points, grid = make_synthetic_scene(cfg, num_points=400_000)
+        kernels = None
+    else:
+        cfg = bench.bench_config()
+        points, grid = make_synthetic_scene(cfg, num_points=bench.NUM_POINTS)
+        kernels = jnp.asarray(blur_mod.generate_kernel_bank(cfg.blur))
     batch = make_synthetic_batch(cfg)
     params = renderer.init_params(jax.random.PRNGKey(0), cfg)
     ts = state_mod.create_train_state(params, points, cfg)
-    kernels = jnp.asarray(blur_mod.generate_kernel_bank(cfg.blur))
     key = jax.random.PRNGKey(0)
 
     staged = None
@@ -99,7 +108,7 @@ def main():
     print(f"# device tracks: "
           f"{sorted(set(v for v in pid_name.values() if v))}")
     print(f"# total device-op time: {total/1e3/args.steps:.2f} ms/step "
-          f"({'cached' if args.cached else 'uncached'})")
+          f"({args.workload} {'cached' if args.cached else 'uncached'})")
     for name, d in sorted(dur_by_name.items(), key=lambda kv: -kv[1])[
             : args.top]:
         print(f"{d/1e3/args.steps:9.3f} ms  {name[:110]}")

@@ -28,7 +28,7 @@ cache_dir = os.path.join(os.path.dirname(os.path.dirname(
 jax.config.update("jax_compilation_cache_dir", cache_dir)
 
 
-def get_hlo(cached: bool) -> str:
+def get_hlo(cached: bool, workload: str = "scannet") -> str:
     from hybridneuralrendering_tpu.data.synthetic import (
         make_synthetic_batch, make_synthetic_scene)
     from hybridneuralrendering_tpu.models import blur as blur_mod
@@ -37,12 +37,19 @@ def get_hlo(cached: bool) -> str:
     from hybridneuralrendering_tpu.train import step as step_mod
     import bench
 
-    cfg = bench.bench_config()
-    points, grid = make_synthetic_scene(cfg, num_points=bench.NUM_POINTS)
+    if workload == "nerf":
+        # NeRF-synthetic SR=80 shapes (bench.py second workload): no blur
+        # bank, no hybrid branch, remat+chunked chain
+        cfg = bench.bench_config_nerf()
+        points, grid = make_synthetic_scene(cfg, num_points=400_000)
+        kernels = None
+    else:
+        cfg = bench.bench_config()
+        points, grid = make_synthetic_scene(cfg, num_points=bench.NUM_POINTS)
+        kernels = jnp.asarray(blur_mod.generate_kernel_bank(cfg.blur))
     batch = make_synthetic_batch(cfg)
     params = renderer.init_params(jax.random.PRNGKey(0), cfg)
     ts = state_mod.create_train_state(params, points, cfg)
-    kernels = jnp.asarray(blur_mod.generate_kernel_bank(cfg.blur))
     key = jax.random.PRNGKey(0)
 
     staged = None
@@ -63,6 +70,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("names", nargs="*")
     ap.add_argument("--cached", action="store_true")
+    ap.add_argument("--workload", default="scannet",
+                    choices=("scannet", "nerf"))
     ap.add_argument("--hlo", default=None,
                     help="reuse a previously dumped HLO file")
     ap.add_argument("--refresh", action="store_true",
@@ -71,8 +80,9 @@ def main():
                     help="max body lines to print per computation")
     args = ap.parse_args()
 
-    path = args.hlo or ("/tmp/hlo_cached.txt" if args.cached
-                        else "/tmp/hlo_uncached.txt")
+    suffix = "" if args.workload == "scannet" else f"_{args.workload}"
+    path = args.hlo or (f"/tmp/hlo_cached{suffix}.txt" if args.cached
+                        else f"/tmp/hlo_uncached{suffix}.txt")
     if args.hlo and os.path.exists(args.hlo):
         hlo = open(args.hlo).read()
     elif os.path.exists(path) and args.names and not args.refresh:
@@ -82,7 +92,7 @@ def main():
               f"--refresh after code changes)")
         hlo = open(path).read()
     else:
-        hlo = get_hlo(args.cached)
+        hlo = get_hlo(args.cached, args.workload)
         with open(path, "w") as f:
             f.write(hlo)
         print(f"# wrote {path} ({len(hlo)/1e6:.1f} MB)")
