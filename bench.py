@@ -57,6 +57,9 @@ def bench_config():
     cdt = os.environ.get("BENCH_COMPUTE_DTYPE")
     if cdt:
         cfg = cfg.replace(agg=dataclasses.replace(cfg.agg, compute_dtype=cdt))
+    pdt = os.environ.get("BENCH_PYRAMID_DTYPE")
+    if pdt:
+        cfg = cfg.replace(agg=dataclasses.replace(cfg.agg, pyramid_dtype=pdt))
     return cfg
 
 

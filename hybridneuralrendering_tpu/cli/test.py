@@ -30,6 +30,9 @@ def build_argparser():
                    choices=("preset", "off", "bank", "learnable"),
                    help="must match the training run (the learnable mode "
                         "adds a blur-kernel MLP to the checkpointed params)")
+    p.add_argument("--pyramid-dtype", default=None,
+                   choices=("float32", "bfloat16"),
+                   help="override agg.pyramid_dtype (match the training run)")
     return p
 
 
@@ -75,6 +78,10 @@ def main(argv=None):
         import dataclasses
         cfg = cfg.replace(sampling=dataclasses.replace(
             cfg.sampling, eval_chunk_rays=args.eval_chunk))
+    if args.pyramid_dtype is not None:
+        import dataclasses
+        cfg = cfg.replace(agg=dataclasses.replace(
+            cfg.agg, pyramid_dtype=args.pyramid_dtype))
     name = args.name or cfg.name
     vis = Visualizer(args.checkpoints_dir, name + "_test")
     ckpt_dir = os.path.join(args.checkpoints_dir, name, "ckpt")

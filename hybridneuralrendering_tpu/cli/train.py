@@ -85,6 +85,10 @@ def build_argparser():
                    choices=(-1, 0, 1),
                    help="override quality-aware frame weights "
                         "(-1 preset, 0 off, 1 on)")
+    p.add_argument("--pyramid-dtype", default=None,
+                   choices=("float32", "bfloat16"),
+                   help="override agg.pyramid_dtype (bf16 end-to-end "
+                        "image-pyramid chain)")
     return p
 
 
@@ -306,6 +310,10 @@ def main(argv=None):
         import dataclasses
         cfg = cfg.replace(optim=dataclasses.replace(
             cfg.optim, lr_decay_iters=args.lr_decay_iters))
+    if args.pyramid_dtype is not None:
+        import dataclasses
+        cfg = cfg.replace(agg=dataclasses.replace(
+            cfg.agg, pyramid_dtype=args.pyramid_dtype))
     name = args.name or cfg.name
     vis = Visualizer(args.checkpoints_dir, name)
     ckpt_dir = os.path.join(args.checkpoints_dir, name, "ckpt")

@@ -150,9 +150,11 @@ class AggregatorConfig:
     # in f32).  Unlike `compute_dtype` (per-matmul, casts back to f32
     # between ops), this halves the INTER-op HBM traffic of the hybrid
     # branch, whose 6/12/24-channel maps lane-pad to 128 so their cost is
-    # layout bytes, not FLOPs.  Targets the uncached CNN-burst step
-    # (VERDICT r3 weak #1).
-    pyramid_dtype: str = "float32"
+    # layout bytes, not FLOPs.  Shipped default after the round-4 A/B:
+    # burst step 160.2 -> 154.3 ms, blended bench +1.5%, fixture quality
+    # equal-or-better (32.47 vs 31.89 dB PSNR at 2k steps).  tiny_test
+    # pins float32 so CPU torch-parity tests stay exact.
+    pyramid_dtype: str = "bfloat16"
     # (A fused Pallas pass for the whole per-neighbor chain lived here in
     # round 2 behind a `fused_chain` knob — bench-neutral, retired to
     # tools/pallas_shading.py; see CLAUDE.md round-2 log.)
@@ -554,7 +556,10 @@ def tiny_test() -> Config:
         points=PointsConfig(num_points=2048, feature_dim=8),
         agg=AggregatorConfig(
             point_features_dim=8, shading_feature_num=128, use_nearest=2,
-            num_feat_freqs=2, dist_xyz_freq=2, drop_ratio=0.5),
+            num_feat_freqs=2, dist_xyz_freq=2, drop_ratio=0.5,
+            # f32 pyramid so CPU parity/equality tests compare exactly;
+            # TestPyramidDtype covers the bf16 chain explicitly
+            pyramid_dtype="float32"),
         render=RenderConfig(near_plane=0.1, far_plane=4.0),
         sampling=SamplingConfig(
             random_sample="dilated", random_sample_size=8,
