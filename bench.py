@@ -60,6 +60,9 @@ def bench_config():
     pdt = os.environ.get("BENCH_PYRAMID_DTYPE")
     if pdt:
         cfg = cfg.replace(agg=dataclasses.replace(cfg.agg, pyramid_dtype=pdt))
+    sdt = os.environ.get("BENCH_SHADING_DTYPE")
+    if sdt:
+        cfg = cfg.replace(agg=dataclasses.replace(cfg.agg, shading_dtype=sdt))
     return cfg
 
 
@@ -67,8 +70,15 @@ def bench_config_nerf():
     """The NeRF-synthetic workload shapes (BASELINE.md: SR=80, 60x60=3600
     random rays, K=8, white bg, no blur/hybrid — lego_points.sh) on the
     synthetic plane scene."""
+    import dataclasses
+    import os
+
     from hybridneuralrendering_tpu import config as C
-    return C.fixture_nerf_points()
+    cfg = C.fixture_nerf_points()
+    sdt = os.environ.get("BENCH_SHADING_DTYPE")
+    if sdt:
+        cfg = cfg.replace(agg=dataclasses.replace(cfg.agg, shading_dtype=sdt))
+    return cfg
 
 
 def time_steps(step_fn, ts, items_key="loss_total"):

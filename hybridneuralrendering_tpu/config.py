@@ -155,6 +155,15 @@ class AggregatorConfig:
     # equal-or-better (32.47 vs 31.89 dB PSNR at 2k steps).  tiny_test
     # pins float32 so CPU torch-parity tests stay exact.
     pyramid_dtype: str = "bfloat16"
+    # 'bfloat16' runs the per-neighbor shading chain (PE concat onward:
+    # block1/2/3 + alpha head) in bf16 END-TO-END — weights and
+    # activations cast once at chain entry, K-aggregation and density
+    # still accumulate in f32.  Unlike `compute_dtype` (per-matmul casts,
+    # twice bench-neutral because the cast traffic eats the MXU gain),
+    # this removes the bf16x3 packing copies and halves every
+    # inter-layer activation.  Matters most on the MXU-heavy NeRF SR=80
+    # shapes (2.3M neighbor rows/step).
+    shading_dtype: str = "float32"
     # (A fused Pallas pass for the whole per-neighbor chain lived here in
     # round 2 behind a `fused_chain` knob — bench-neutral, retired to
     # tools/pallas_shading.py; see CLAUDE.md round-2 log.)

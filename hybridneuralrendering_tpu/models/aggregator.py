@@ -310,6 +310,7 @@ def apply(params: Dict, cfg: AggregatorConfig, *,
     R, SR, K, _ = sampled_xyz.shape
     f32 = sampled_xyz.dtype
     cdt = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None
+    sdt = jnp.bfloat16 if cfg.shading_dtype == "bfloat16" else None
 
     ray_valid = jnp.any(pnt_mask, axis=-1)                       # [R, SR]
     dists = build_dists(cfg, sampled_xyz, sampled_xyz_pers, sample_loc,
@@ -391,16 +392,27 @@ def apply(params: Dict, cfg: AggregatorConfig, *,
                 [ft, positional_encoding(ft, cfg.num_feat_freqs)],
                 axis=-1)
         ft = jnp.concatenate([ft, dists_enc], axis=-1)
+        ccdt = cdt
+        if sdt is not None:
+            # shading_dtype: ONE cast of inputs + weights at chain entry;
+            # every inter-layer activation (and the remat recompute) then
+            # stays bf16 — no per-matmul cast traffic, genuine one-pass
+            # bf16 MXU dots.  PE above runs in f32; the K-aggregation
+            # below accumulates in f32 (mw is f32, products promote).
+            ft = ft.astype(sdt)
+            extras = tuple(e.astype(sdt) for e in extras)
+            p = jax.tree_util.tree_map(lambda x: x.astype(sdt), p)
+            ccdt = None
         ft = mlp.mlp_apply(p["block1"], ft, cfg.act_type,
-                           final_act=True, compute_dtype=cdt)
+                           final_act=True, compute_dtype=ccdt)
         if cfg.shading_feature_mlp_layer2 > 0:
             ft = mlp.mlp_apply(p["block2"], ft, cfg.act_type,
-                               final_act=True, compute_dtype=cdt)
+                               final_act=True, compute_dtype=ccdt)
         if cfg.shading_feature_mlp_layer3 > 0:
             ft = mlp.mlp_apply(p["block3"],
                                jnp.concatenate((ft,) + extras, axis=-1),
                                cfg.act_type, final_act=True,
-                               compute_dtype=cdt)
+                               compute_dtype=ccdt)
         # alpha head without a trailing singleton: the canonical head is a
         # single Linear(F, 1) — as a matvec einsum it lands at [R,SR,K]
         # directly instead of a 128x-lane-padded [R*SR*K, 1] dot output
@@ -409,10 +421,12 @@ def apply(params: Dict, cfg: AggregatorConfig, *,
             a_raw = a_raw + p["alpha"][0]["b"][0]
         else:
             a_raw = mlp.mlp_apply(p["alpha"], ft, cfg.act_type,
-                                  compute_dtype=cdt)[..., 0]
+                                  compute_dtype=ccdt)[..., 0]
+        a_raw = a_raw.astype(f32)
         # per-neighbor alpha, aggregated with conf-scaled weights
         # (agg_intrp_order 2); mw rides 3-D, broadcasting only inside the
-        # reduce fusions
+        # reduce fusions.  ft*mw promotes bf16->f32, so the K-reduction
+        # accumulates in f32 under shading_dtype too.
         return (jnp.sum(raw2density(a_raw, cfg.act_super) * mw,
                         axis=-1)[..., None],
                 jnp.sum(ft * mw[..., None], axis=-2))

@@ -216,6 +216,43 @@ class TestPyramidDtype:
                 ts.params["aggregator"]["pyramid"]):
             assert leaf.dtype == jnp.float32
 
+    def test_shading_dtype_bf16_trains_close_to_f32(self):
+        """shading_dtype='bfloat16' (end-to-end bf16 per-neighbor chain,
+        config.AggregatorConfig.shading_dtype): loss tracks f32, training
+        decreases, master weights stay f32."""
+        cfg, ts, grid, batch, kernels = setup()
+        cfgb = cfg.replace(agg=dataclasses.replace(
+            cfg.agg, shading_dtype="bfloat16"))
+        pts_tree = state_mod.point_param_tree(ts.points, cfg)
+        key = jax.random.PRNGKey(3)
+        t32, _ = step_mod.loss_fn(
+            ts.params, pts_tree, ts.points, grid, batch, cfg, key, kernels)
+        t16, _ = step_mod.loss_fn(
+            ts.params, pts_tree, ts.points, grid, batch, cfgb, key, kernels)
+        assert np.isfinite(float(t16))
+        np.testing.assert_allclose(float(t16), float(t32), rtol=0.08,
+                                   atol=5e-4)
+        losses = []
+        for i in range(8):
+            ts, items = step_mod.train_step(
+                ts, grid, batch, jax.random.PRNGKey(i), kernels, cfgb)
+            losses.append(float(items["loss_total"]))
+        assert all(np.isfinite(losses))
+        assert losses[-1] < losses[0], losses
+        for leaf in jax.tree_util.tree_leaves(ts.params):
+            assert leaf.dtype == jnp.float32
+
+    def test_shading_dtype_bf16_remat_chunked(self):
+        """The bf16 chain composes with remat_chain + chain_chunks (the
+        NeRF SR=80 configuration it targets)."""
+        cfg, ts, grid, batch, kernels = setup()
+        cfg = cfg.replace(agg=dataclasses.replace(
+            cfg.agg, shading_dtype="bfloat16", remat_chain=True,
+            chain_chunks=4))
+        ts, items = step_mod.train_step(ts, grid, batch,
+                                        jax.random.PRNGKey(0), kernels, cfg)
+        assert np.isfinite(float(items["loss_total"]))
+
     def test_gather_rows_bf16_backward_accumulates_f32(self):
         """The sorted-cumsum gather backward on a bf16 table must not run
         its 300k-row running sum in bf16 — compare against the exact
