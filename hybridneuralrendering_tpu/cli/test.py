@@ -33,6 +33,9 @@ def build_argparser():
     p.add_argument("--pyramid-dtype", default=None,
                    choices=("float32", "bfloat16"),
                    help="override agg.pyramid_dtype (match the training run)")
+    p.add_argument("--shading-dtype", default=None,
+                   choices=("float32", "bfloat16"),
+                   help="override agg.shading_dtype (match the training run)")
     return p
 
 
@@ -82,6 +85,10 @@ def main(argv=None):
         import dataclasses
         cfg = cfg.replace(agg=dataclasses.replace(
             cfg.agg, pyramid_dtype=args.pyramid_dtype))
+    if args.shading_dtype is not None:
+        import dataclasses
+        cfg = cfg.replace(agg=dataclasses.replace(
+            cfg.agg, shading_dtype=args.shading_dtype))
     name = args.name or cfg.name
     vis = Visualizer(args.checkpoints_dir, name + "_test")
     ckpt_dir = os.path.join(args.checkpoints_dir, name, "ckpt")

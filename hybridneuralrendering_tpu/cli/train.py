@@ -89,6 +89,10 @@ def build_argparser():
                    choices=("float32", "bfloat16"),
                    help="override agg.pyramid_dtype (bf16 end-to-end "
                         "image-pyramid chain)")
+    p.add_argument("--shading-dtype", default=None,
+                   choices=("float32", "bfloat16"),
+                   help="override agg.shading_dtype (bf16 end-to-end "
+                        "per-neighbor shading chain)")
     return p
 
 
@@ -314,6 +318,10 @@ def main(argv=None):
         import dataclasses
         cfg = cfg.replace(agg=dataclasses.replace(
             cfg.agg, pyramid_dtype=args.pyramid_dtype))
+    if args.shading_dtype is not None:
+        import dataclasses
+        cfg = cfg.replace(agg=dataclasses.replace(
+            cfg.agg, shading_dtype=args.shading_dtype))
     name = args.name or cfg.name
     vis = Visualizer(args.checkpoints_dir, name)
     ckpt_dir = os.path.join(args.checkpoints_dir, name, "ckpt")

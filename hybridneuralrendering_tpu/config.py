@@ -161,9 +161,12 @@ class AggregatorConfig:
     # still accumulate in f32.  Unlike `compute_dtype` (per-matmul casts,
     # twice bench-neutral because the cast traffic eats the MXU gain),
     # this removes the bf16x3 packing copies and halves every
-    # inter-layer activation.  Matters most on the MXU-heavy NeRF SR=80
-    # shapes (2.3M neighbor rows/step).
-    shading_dtype: str = "float32"
+    # inter-layer activation.  Shipped default after the round-4 A/B:
+    # ScanNet blended 24,786 -> 26,830 rays/s (+8.2%), NeRF SR=80
+    # 8,771 -> 9,879 (+12.6%); fixture quality equal on both workloads
+    # (32.42 vs 32.47 dB ScanNet; 27.44 vs 27.41 dB NeRF).  tiny_test
+    # pins float32 so CPU torch-parity tests stay exact.
+    shading_dtype: str = "bfloat16"
     # (A fused Pallas pass for the whole per-neighbor chain lived here in
     # round 2 behind a `fused_chain` knob — bench-neutral, retired to
     # tools/pallas_shading.py; see CLAUDE.md round-2 log.)
@@ -566,9 +569,10 @@ def tiny_test() -> Config:
         agg=AggregatorConfig(
             point_features_dim=8, shading_feature_num=128, use_nearest=2,
             num_feat_freqs=2, dist_xyz_freq=2, drop_ratio=0.5,
-            # f32 pyramid so CPU parity/equality tests compare exactly;
-            # TestPyramidDtype covers the bf16 chain explicitly
-            pyramid_dtype="float32"),
+            # f32 pyramid/shading so CPU parity/equality tests compare
+            # exactly; TestPyramidDtype + the shading_dtype tests cover
+            # the bf16 chains explicitly
+            pyramid_dtype="float32", shading_dtype="float32"),
         render=RenderConfig(near_plane=0.1, far_plane=4.0),
         sampling=SamplingConfig(
             random_sample="dilated", random_sample_size=8,

@@ -134,7 +134,10 @@ def our_cfg():
     return C.AggregatorConfig(
         point_features_dim=PF_DIM, shading_feature_num=F_NUM,
         num_feat_freqs=2, dist_xyz_freq=2, use_nearest=V, drop_ratio=0.0,
-        num_viewdir_freqs=4)
+        num_viewdir_freqs=4,
+        # torch parity compares f32 math exactly; the bf16 chain defaults
+        # are gated separately (tests/test_train.py dtype tests)
+        pyramid_dtype="float32", shading_dtype="float32")
 
 
 def copy_linear(seq_layer, p):
