@@ -63,6 +63,9 @@ def main(argv=None):
     args = build_argparser().parse_args(argv)
     import jax
 
+    from hybridneuralrendering_tpu.utils import compile_cache
+    compile_cache.enable()
+
     from hybridneuralrendering_tpu import config as C
     from hybridneuralrendering_tpu.models import neural_points as npts
     from hybridneuralrendering_tpu.models import renderer
@@ -76,22 +79,44 @@ def main(argv=None):
         cfg = C.PRESETS[args.preset](args.scan)
     except TypeError:
         cfg = C.PRESETS[args.preset]()
-    cfg = C.apply_blur_overrides(cfg, args.blur_mode)
+    import dataclasses
+    import json
+
+    name = args.name or cfg.name
+    ckpt_dir = os.path.join(args.checkpoints_dir, name, "ckpt")
+    # run-config snapshot written by cli/train.py: restore the eval-relevant
+    # training-time settings (dtypes, blur mode, point capacity) so a
+    # checkpoint evaluates under what it trained with; explicit CLI flags
+    # still win (ADVICE r4: pre-snapshot f32 checkpoints must not silently
+    # evaluate under bf16 defaults)
+    snap = {}
+    snap_path = os.path.join(ckpt_dir, "run_config.json")
+    if os.path.exists(snap_path):
+        with open(snap_path) as f:
+            snap = json.load(f)
+    blur_mode = args.blur_mode
+    if blur_mode == "preset" and snap.get("blur_mode", "preset") != "preset":
+        blur_mode = snap["blur_mode"]
+    cfg = C.apply_blur_overrides(cfg, blur_mode)
     if args.eval_chunk:
-        import dataclasses
         cfg = cfg.replace(sampling=dataclasses.replace(
             cfg.sampling, eval_chunk_rays=args.eval_chunk))
-    if args.pyramid_dtype is not None:
-        import dataclasses
+    pyr_dt = args.pyramid_dtype or snap.get("pyramid_dtype")
+    if pyr_dt is not None:
         cfg = cfg.replace(agg=dataclasses.replace(
-            cfg.agg, pyramid_dtype=args.pyramid_dtype))
-    if args.shading_dtype is not None:
-        import dataclasses
+            cfg.agg, pyramid_dtype=pyr_dt))
+    sh_dt = args.shading_dtype or snap.get("shading_dtype")
+    if sh_dt is not None:
         cfg = cfg.replace(agg=dataclasses.replace(
-            cfg.agg, shading_dtype=args.shading_dtype))
-    name = args.name or cfg.name
+            cfg.agg, shading_dtype=sh_dt))
+    if snap.get("num_points"):
+        cfg = cfg.replace(points=dataclasses.replace(
+            cfg.points, num_points=int(snap["num_points"])))
     vis = Visualizer(args.checkpoints_dir, name + "_test")
-    ckpt_dir = os.path.join(args.checkpoints_dir, name, "ckpt")
+    vis.log(f"effective dtypes: pyramid={cfg.agg.pyramid_dtype} "
+            f"shading={cfg.agg.shading_dtype}  blur_mode={blur_mode}  "
+            f"capacity={cfg.points.num_points}"
+            + ("  (from run_config.json)" if snap else ""))
 
     if args.preset.startswith(("nerf", "fixture_nerf")):
         from hybridneuralrendering_tpu.data.nerf_synth import NerfSynthScene

@@ -71,6 +71,15 @@ def build_argparser():
     p.add_argument("--frames-per-step", type=int, default=1,
                    help=">1 vmaps several frames' ray batches into one "
                         "optimizer step (larger effective batch)")
+    p.add_argument("--num-points", type=int, default=None,
+                   help="override PointsConfig.num_points (point-table "
+                        "capacity; raise it for prune-disabled lifecycle "
+                        "runs where growth is cumulative)")
+    p.add_argument("--bootstrap-cap", type=int, default=0,
+                   help="cap the bootstrap cloud at this size instead of "
+                        "num_points (0 = num_points) — keeps the base cloud "
+                        "identical across runs that differ only in capacity "
+                        "headroom")
     p.add_argument("--drop-box", type=float, nargs=6, default=None,
                    metavar=("X0", "Y0", "Z0", "X1", "Y1", "Z1"),
                    help="delete bootstrap points inside this world AABB — "
@@ -155,9 +164,10 @@ def bootstrap_points(args, dataset, cfg, key=None):
         return xyz, attrs
     if args.vox_res > 0:
         xyz, _ = voxel_downsample_closest(xyz, args.vox_res)
-    if len(xyz) > cfg.points.num_points:
+    cap = args.bootstrap_cap or cfg.points.num_points
+    if len(xyz) > cap:
         keep = np.random.default_rng(args.seed).choice(
-            len(xyz), cfg.points.num_points, replace=False)
+            len(xyz), cap, replace=False)
         xyz = xyz[keep]
     return xyz, attrs
 
@@ -286,6 +296,9 @@ def main(argv=None):
     import jax
     import jax.numpy as jnp
 
+    from hybridneuralrendering_tpu.utils import compile_cache
+    compile_cache.enable()
+
     from hybridneuralrendering_tpu import config as C
     from hybridneuralrendering_tpu.models import blur as blur_mod
     from hybridneuralrendering_tpu.models import neural_points as npts
@@ -322,9 +335,27 @@ def main(argv=None):
         import dataclasses
         cfg = cfg.replace(agg=dataclasses.replace(
             cfg.agg, shading_dtype=args.shading_dtype))
+    if args.num_points is not None:
+        import dataclasses
+        cfg = cfg.replace(points=dataclasses.replace(
+            cfg.points, num_points=args.num_points))
     name = args.name or cfg.name
     vis = Visualizer(args.checkpoints_dir, name)
     ckpt_dir = os.path.join(args.checkpoints_dir, name, "ckpt")
+    # run-config snapshot: cli/test.py restores eval-relevant fields from it
+    # so a checkpoint trained under explicit dtype/blur overrides evaluates
+    # under the same settings without the user re-passing every flag
+    import json
+    os.makedirs(ckpt_dir, exist_ok=True)
+    with open(os.path.join(ckpt_dir, "run_config.json"), "w") as f:
+        json.dump({
+            "preset": args.preset,
+            "pyramid_dtype": cfg.agg.pyramid_dtype,
+            "shading_dtype": cfg.agg.shading_dtype,
+            "blur_mode": args.blur_mode,
+            "num_points": cfg.points.num_points,
+            "seed": args.seed,
+        }, f, indent=1)
 
     if args.preset.startswith(("nerf", "fixture_nerf")):
         from hybridneuralrendering_tpu.data.nerf_synth import NerfSynthScene
@@ -464,6 +495,23 @@ def main(argv=None):
         b["raydir"], b["gt_image"] = dirs, rgb
         return fi, b
 
+    def log_box_live(s):
+        """Hole-closure instrumentation: live points inside the drop box
+        (the carved region) after each lifecycle event — the geometric
+        closure signal VERDICT r4 #1 asks for."""
+        if args.drop_box is None:
+            return
+        from hybridneuralrendering_tpu.parallel.distributed import \
+            host_local_array
+        xyz_h = host_local_array(ts.points.xyz)
+        mask_h = host_local_array(ts.points.mask)
+        lo = np.asarray(args.drop_box[:3])
+        hi = np.asarray(args.drop_box[3:])
+        n_in = int((mask_h & np.all((xyz_h >= lo) & (xyz_h <= hi),
+                                    axis=1)).sum())
+        vis.add_scalar(s, "box_live", n_in)
+        vis.log(f"  drop-box live points: {n_in}")
+
     was_burst = True
     while step < max_steps:
         burst = in_burst(step)
@@ -531,6 +579,7 @@ def main(argv=None):
                     f"step {step} (live: {int(pts.num_live)})")
             vis.add_scalar(step, "pruned_points", before - int(pts.num_live))
             vis.add_scalar(step, "num_points", int(pts.num_live))
+            log_box_live(step)
 
         if prob_freq > 0 and step % prob_freq == 0 and step < max_steps:
             # per-tier probe schedule (run/train_ft.py:878-903): tier from
@@ -557,6 +606,7 @@ def main(argv=None):
                     vis.add_scalar(step, "grown_points", n_added)
                     vis.add_scalar(step, "num_points",
                                    int(ts.points.num_live))
+                    log_box_live(step)
 
     ckpt_mod.save_checkpoint(ckpt_dir, ts, best_psnr)
     vis.log(f"done: {max_steps} steps, best PSNR {best_psnr:.3f}")

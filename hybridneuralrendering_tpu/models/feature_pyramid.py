@@ -142,18 +142,20 @@ def _bilinear_gather(stage: jnp.ndarray, py: jnp.ndarray, px: jnp.ndarray,
 
 
 def gather_staged(images: jnp.ndarray, stages, py: jnp.ndarray,
-                  px: jnp.ndarray) -> jnp.ndarray:
+                  px: jnp.ndarray, dtype=None) -> jnp.ndarray:
     """Per-sample feature gather from cached stage maps.
 
     images: [V, H, W, 3]; stages: (s1, s2, s3) from apply_stages; py/px:
     [V, ...] integer pixel coords (already clipped in-bounds).  Returns
     [V, ..., 45], numerically matching
     `apply(...)[vidx, py, px]` (the aggregator's nearest-pixel lookup of the
-    upsampled concat) to bilinear-interpolation rounding."""
+    upsampled concat) to bilinear-interpolation rounding.  `dtype`
+    (cfg.agg.pyramid_dtype) runs the bilinear gathers in bf16 — keeps this
+    fallback path's precision behavior aligned with `materialize`."""
     V, H, W, _ = images.shape
+    td = images.dtype if dtype is None else dtype
     vidx = jnp.arange(V).reshape((V,) + (1,) * (py.ndim - 1))
-    parts = [images[vidx, py, px]]
+    parts = [images.astype(td)[vidx, py, px]]
     for stage in stages:
-        parts.append(_bilinear_gather(stage.astype(images.dtype), py, px,
-                                      H, W))
+        parts.append(_bilinear_gather(stage.astype(td), py, px, H, W))
     return jnp.concatenate(parts, axis=-1)

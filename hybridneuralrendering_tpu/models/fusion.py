@@ -55,7 +55,7 @@ def image_fusion(params: Dict, cfg: AggregatorConfig, color_feature,
     vidx = jnp.arange(V)[:, None, None]
     if img_feat_staged is not None:
         img_feat = feature_pyramid.gather_staged(
-            images_n, stages, pyc, pxc)                      # [V,R,SR,45]
+            images_n, stages, pyc, pxc, dtype=chain_dt)      # [V,R,SR,45]
     else:
         # flat lane-aligned row gather with the sorted-cumsum custom VJP
         # (neural_points._gather_rows): the plain [vidx,pyc,pxc] gather's

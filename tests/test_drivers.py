@@ -175,3 +175,80 @@ class TestVisualizerScalars:
         assert abs(by_tag[(40, "loss_x")] - 0.05) < 1e-9
         assert (40, "PSNR[loss_coarse_raycolor]") in by_tag
         assert by_tag[(41, "lr")] == 5e-4
+
+
+class TestVisualizeDriver:
+    def test_visualize_cli_renders_checkpoint(self, tmp_path, monkeypatch):
+        """cli/visualize.py through its actual CLI path (VERDICT r4 #9):
+        register a test preset, save a checkpoint, run main(), check PNGs +
+        PSNR log lines."""
+        import glob
+
+        from hybridneuralrendering_tpu.cli import visualize as vis_cli
+        from hybridneuralrendering_tpu.data.synthetic import (
+            make_synthetic_scene)
+        from hybridneuralrendering_tpu.models import renderer
+        from hybridneuralrendering_tpu.train import checkpoint as ckpt_mod
+        from hybridneuralrendering_tpu.train import state as state_mod
+
+        # fake on-disk ScanNet export (shares the layout test_integration's
+        # fake_scannet fixture uses; local here to keep modules independent)
+        import imageio.v2 as imageio
+        from PIL import Image
+        root = tmp_path / "scans"
+        scan = "scene_vis"
+        base = root / scan / "exported"
+        for sub in ("color", "pose", "depth", "intrinsic"):
+            os.makedirs(base / sub, exist_ok=True)
+        H, W = 48, 64
+        intr = np.array([[40.0, 0, W / 2], [0, 40.0, H / 2], [0, 0, 1]])
+        for nm in ("intrinsic_color.txt", "intrinsic_depth.txt"):
+            np.savetxt(base / "intrinsic" / nm,
+                       np.block([[intr, np.zeros((3, 1))],
+                                 [np.zeros((1, 3)), 1]]))
+        rng = np.random.default_rng(0)
+        for i in range(12):
+            c2w = np.eye(4)
+            c2w[0, 3] = 0.05 * i
+            np.savetxt(base / f"pose/{i}.txt", c2w)
+            img = rng.uniform(0, 255, (H, W, 3)).astype(np.uint8)
+            Image.fromarray(img).save(base / f"color/{i}.jpg")
+            imageio.imwrite(base / f"depth/{i}.png",
+                            np.full((H, W), 2000, np.uint16))
+
+        cfg = C.Config(
+            name="vistest",
+            querier=C.QuerierConfig(
+                vsize=(0.05, 0.05, 0.05), vscale=(2, 2, 2), SR=6, K=4, P=8,
+                max_o=20000, z_depth_dim=48, grid_capacity=600_000,
+                ranges=(-4.0, -4.0, -4.0, 4.0, 4.0, 4.0),
+                Ps=32, max_nodes=120_000),
+            points=C.PointsConfig(num_points=2000, feature_dim=8),
+            agg=C.AggregatorConfig(point_features_dim=8,
+                                   shading_feature_num=128, use_nearest=2,
+                                   num_feat_freqs=2, dist_xyz_freq=2),
+            render=C.RenderConfig(near_plane=0.5, far_plane=4.0),
+            sampling=C.SamplingConfig(random_sample="dilated",
+                                      random_sample_size=8,
+                                      dilation_patch_num=2,
+                                      dilation_patch_size=4, edge_filter=0,
+                                      eval_chunk_rays=256),
+            image_hw=(48, 64),
+        )
+        monkeypatch.setitem(C.PRESETS, "vistest", lambda: cfg)
+
+        points, _ = make_synthetic_scene(cfg, num_points=1500)
+        params = renderer.init_params(jax.random.PRNGKey(0), cfg)
+        ts = state_mod.create_train_state(params, points, cfg)
+        ckpts = tmp_path / "ckpts"
+        ckpt_mod.save_checkpoint(str(ckpts / "visrun" / "ckpt"), ts, 0.0)
+
+        vis_cli.main(["--preset", "vistest", "--data-root", str(root),
+                      "--scan", scan, "--checkpoints-dir", str(ckpts),
+                      "--name", "visrun", "--frames", "2"])
+
+        out = ckpts / "visrun_vis"
+        pngs = glob.glob(str(out / "images" / "*render*.png"))
+        assert len(pngs) == 2, pngs
+        log = open(out / "log.txt").read()
+        assert "PSNR" in log

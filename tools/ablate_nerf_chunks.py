@@ -23,11 +23,12 @@ import bench
 key = jax.random.PRNGKey(0)
 
 
-def run(tag, nc, remat=True, iters=15, dtype="float32"):
+def run(tag, nc, remat=True, iters=15, dtype="float32", sdt=None):
     cfg = bench.bench_config_nerf()
     cfg = cfg.replace(agg=dataclasses.replace(
-        cfg.agg, chain_chunks=nc, remat_chain=remat, compute_dtype=dtype))
-    pts, grid = make_synthetic_scene(cfg, num_points=400_000)
+        cfg.agg, chain_chunks=nc, remat_chain=remat, compute_dtype=dtype,
+        **({} if sdt is None else {"shading_dtype": sdt})))
+    pts, grid = make_synthetic_scene(cfg, num_points=bench.NUM_POINTS_NERF)
     batch = make_synthetic_batch(cfg)
     params = renderer.init_params(jax.random.PRNGKey(0), cfg)
     ts = state_mod.create_train_state(params, pts, cfg)
@@ -53,7 +54,19 @@ def run(tag, nc, remat=True, iters=15, dtype="float32"):
           flush=True)
 
 
-run("c16_f32", 16)
-run("c16_bf16", 16, dtype="bfloat16")
-run("c16_f32_b", 16)
-run("c16_bf16_b", 16, dtype="bfloat16")
+if __name__ == "__main__":
+    import sys
+    if len(sys.argv) > 1:
+        # round-5 mode: chunk-count sweep under the shipped bf16 shading
+        # chain (VERDICT r4 #3: chain_chunks was tuned at f32; the dtype
+        # flip halved live-chunk bytes so the optimum may have moved).
+        # usage: ablate_nerf_chunks.py N [N...]  (interleaved A/B repeats)
+        chunk_list = [int(a) for a in sys.argv[1:]]
+        for rep in ("a", "b"):
+            for nc in chunk_list:
+                run(f"c{nc}_shbf16_{rep}", nc, sdt="bfloat16")
+    else:
+        run("c16_f32", 16)
+        run("c16_bf16", 16, dtype="bfloat16")
+        run("c16_f32_b", 16)
+        run("c16_bf16_b", 16, dtype="bfloat16")

@@ -50,7 +50,7 @@ def main():
 
     if args.workload == "nerf":
         cfg = bench.bench_config_nerf()
-        points, grid = make_synthetic_scene(cfg, num_points=400_000)
+        points, grid = make_synthetic_scene(cfg, num_points=bench.NUM_POINTS_NERF)
         kernels = None
     else:
         cfg = bench.bench_config()

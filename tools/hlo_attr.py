@@ -41,7 +41,7 @@ def get_hlo(cached: bool, workload: str = "scannet") -> str:
         # NeRF-synthetic SR=80 shapes (bench.py second workload): no blur
         # bank, no hybrid branch, remat+chunked chain
         cfg = bench.bench_config_nerf()
-        points, grid = make_synthetic_scene(cfg, num_points=400_000)
+        points, grid = make_synthetic_scene(cfg, num_points=bench.NUM_POINTS_NERF)
         kernels = None
     else:
         cfg = bench.bench_config()
