@@ -61,10 +61,19 @@ if __name__ == "__main__":
         # chain (VERDICT r4 #3: chain_chunks was tuned at f32; the dtype
         # flip halved live-chunk bytes so the optimum may have moved).
         # usage: ablate_nerf_chunks.py N [N...]  (interleaved A/B repeats)
-        chunk_list = [int(a) for a in sys.argv[1:]]
+        # a token "nrN" runs remat_chain=False with N chunks — at bf16 the
+        # residual set is half its f32 size, so the no-remat path (which
+        # deletes the backward's forward recompute) may now fit HBM.
+        cells = []
+        for a in sys.argv[1:]:
+            if a.startswith("nr"):
+                cells.append((int(a[2:] or 1), False))
+            else:
+                cells.append((int(a), True))
         for rep in ("a", "b"):
-            for nc in chunk_list:
-                run(f"c{nc}_shbf16_{rep}", nc, sdt="bfloat16")
+            for nc, rm in cells:
+                tag = f"c{nc}{'' if rm else '_noremat'}_shbf16_{rep}"
+                run(tag, nc, remat=rm, sdt="bfloat16")
     else:
         run("c16_f32", 16)
         run("c16_bf16", 16, dtype="bfloat16")
