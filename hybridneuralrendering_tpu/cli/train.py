@@ -285,7 +285,8 @@ def train_ff(args, cfg, train_ds, vis, ckpt_dir):
             sps = step / max(time.time() - t0, 1e-9)
             vis.print_losses(step, extra=f"steps/s={sps:.2f} "
                              f"pts={int(items['num_points'])}")
-        if step % args.save_freq == 0 or step >= max_steps:
+        if (args.save_freq > 0 and step % args.save_freq == 0) \
+                or step >= max_steps:
             step_ff.save_ff_checkpoint(ckpt_dir, ffs)
     vis.log(f"done: {max_steps} feed-forward steps")
 
@@ -419,6 +420,11 @@ def main(argv=None):
     tracker = lifecycle.RayMissTracker()
     max_steps = args.max_steps or cfg.optim.maximum_step
     prob_freq = args.prob_freq or cfg.probe.prob_freq
+    # the tracker's per-step miss-loss fetch is a device sync; it only pays
+    # for itself when probing selects frames by miss-loss rank (prob_top=1)
+    # AND the probe doesn't already visit every training frame
+    use_tracker = (prob_freq > 0 and cfg.probe.prob_top == 1
+                   and (args.prob_frames or 0) < len(train_ds))
 
     # image-pyramid cache: cached steps reuse per-view CNN stage maps; the
     # CNN trains (and the cache refreshes) in bursts — OptimConfig schedule
@@ -547,9 +553,13 @@ def main(argv=None):
             ts, items = step_mod.train_step(
                 ts, grid, batch, jax.random.fold_in(key, step), kernels, cfg,
                 staged)
-        step = int(ts.step)
+        # host-side step counter: int(ts.step) would force a device sync
+        # every iteration (tunnel roundtrip), serializing the async dispatch
+        step += 1
 
-        if "loss_ray_miss_coarse_raycolor" in items:
+        if use_tracker and "loss_ray_miss_coarse_raycolor" in items:
+            # the miss-loss fetch syncs the device each step; only pay it
+            # when probing actually consumes the tracker ranking
             tracker.update(fi, float(items["loss_ray_miss_coarse_raycolor"]))
 
         if step % args.print_freq == 0:
@@ -558,14 +568,14 @@ def main(argv=None):
             sps = step / max(time.time() - t_start, 1e-9)
             vis.print_losses(step, extra=f"steps/s={sps:.2f}")
 
-        if step % args.test_freq == 0:
+        if args.test_freq > 0 and step % args.test_freq == 0:
             mean_psnr = evaluate(ts.params, ts.points, grid, test_ds, cfg,
                                  vis, step, args.test_num)
             if mean_psnr > best_psnr:
                 best_psnr = mean_psnr
                 ckpt_mod.save_checkpoint(ckpt_dir, ts, best_psnr)
 
-        if step % args.save_freq == 0:
+        if args.save_freq > 0 and step % args.save_freq == 0:
             ckpt_mod.save_checkpoint(ckpt_dir, ts, best_psnr)
 
         if (cfg.probe.prune_iter > 0 and step % cfg.probe.prune_iter == 0
@@ -587,14 +597,15 @@ def main(argv=None):
             tier = int(np.sum(np.asarray(cfg.probe.prob_tiers) < step))
             n_tiers = len(cfg.probe.prob_kernel_size) // 3
             top = tracker.top_ids()
-            gate = (len(top) > 0 or cfg.probe.prob_top != 1
-                    or cfg.probe.far_thresh > 0)
+            gate = (not use_tracker or len(top) > 0
+                    or cfg.probe.prob_top != 1 or cfg.probe.far_thresh > 0)
             if tier < n_tiers and gate:
                 qs = tuple(cfg.probe.prob_kernel_size[tier * 3: tier * 3 + 3])
                 vis.log(f"probe-and-grow at step {step} "
                         f"(tier {tier}, query_size {qs})...")
                 new_points, new_grid, n_added = lifecycle.probe_and_grow(
-                    ts.params, ts.points, grid, train_ds, cfg, tracker,
+                    ts.params, ts.points, grid, train_ds, cfg,
+                    tracker if use_tracker else None,
                     max_frames=args.prob_frames or None,
                     rng=rng, query_size_override=qs)
                 if n_added > 0:
