@@ -187,6 +187,12 @@ class AggregatorConfig:
     # 16 chunks 448 ms vs 8 chunks 508 ms (+13%) vs 4 ~485 — smaller live
     # windows pipeline better; presets use 16.
     chain_chunks: int = 1
+    # Fused Linear+LeakyReLU custom VJP for the chain MLPs: the backward
+    # rebuilds the activation mask from the layer OUTPUT's sign (leaky
+    # preserves sign), so the pre-activation is never saved — the no-remat
+    # chain's residual set halves to one tensor per layer (models/mlp.py
+    # _linear_leaky).  Only active for act_type=leaky_relu.
+    fused_leaky_vjp: bool = False
 
     # Hybrid rendering (image-based branch).
     use_nearest: int = 4                  # number of nearby training views fused

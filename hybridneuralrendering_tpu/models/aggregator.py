@@ -403,16 +403,19 @@ def apply(params: Dict, cfg: AggregatorConfig, *,
             extras = tuple(e.astype(sdt) for e in extras)
             p = jax.tree_util.tree_map(lambda x: x.astype(sdt), p)
             ccdt = None
+        fvjp = cfg.fused_leaky_vjp
         ft = mlp.mlp_apply(p["block1"], ft, cfg.act_type,
-                           final_act=True, compute_dtype=ccdt)
+                           final_act=True, compute_dtype=ccdt,
+                           fused_vjp=fvjp)
         if cfg.shading_feature_mlp_layer2 > 0:
             ft = mlp.mlp_apply(p["block2"], ft, cfg.act_type,
-                               final_act=True, compute_dtype=ccdt)
+                               final_act=True, compute_dtype=ccdt,
+                               fused_vjp=fvjp)
         if cfg.shading_feature_mlp_layer3 > 0:
             ft = mlp.mlp_apply(p["block3"],
                                jnp.concatenate((ft,) + extras, axis=-1),
                                cfg.act_type, final_act=True,
-                               compute_dtype=ccdt)
+                               compute_dtype=ccdt, fused_vjp=fvjp)
         # alpha head without a trailing singleton: the canonical head is a
         # single Linear(F, 1) — as a matvec einsum it lands at [R,SR,K]
         # directly instead of a 128x-lane-padded [R*SR*K, 1] dot output

@@ -81,13 +81,57 @@ def mlp_init(key, dims: Sequence[int], act: str,
     return layers
 
 
+@jax.custom_vjp
+def _linear_leaky(w, b, x):
+    """Fused Linear + LeakyReLU with an output-sign backward.
+
+    leaky_relu preserves sign (slope > 0), so the activation mask
+    `z > 0` equals `y > 0` — the backward can rebuild it from the layer
+    OUTPUT and never needs the pre-activation z.  Saved residuals per
+    layer drop from {x, z} (default autodiff: x for the weight grad, z
+    for the leaky mask) to {x, y}, and y IS the next layer's x, so a
+    stack saves ONE tensor per layer instead of two.  Halves the
+    residual traffic of the no-remat shading chain (PERF.md NeRF
+    section, round 5)."""
+    return jax.nn.leaky_relu(x @ w + b, LEAKY_SLOPE)
+
+
+def _linear_leaky_fwd(w, b, x):
+    y = jax.nn.leaky_relu(x @ w + b, LEAKY_SLOPE)
+    return y, (w, b, x, y)
+
+
+def _linear_leaky_bwd(res, g):
+    w, b, x, y = res
+    gz = g * jnp.where(y > 0, jnp.asarray(1.0, g.dtype),
+                       jnp.asarray(LEAKY_SLOPE, g.dtype))
+    dx = gz @ w.T
+    gz2 = gz.reshape(-1, gz.shape[-1])
+    x2 = x.reshape(-1, x.shape[-1])
+    # weight grad accumulates in f32 on the MXU even when the chain runs
+    # bf16; the cotangent itself must match the (possibly bf16) primal
+    dw = jax.lax.dot_general(x2, gz2, (((0,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    db = jnp.sum(gz2.astype(jnp.float32), axis=0)
+    return dw.astype(w.dtype), db.astype(b.dtype), dx
+
+
+_linear_leaky.defvjp(_linear_leaky_fwd, _linear_leaky_bwd)
+
+
 def mlp_apply(layers: List[Dict], x: jnp.ndarray, act: str,
-              final_act: bool = False, compute_dtype=None) -> jnp.ndarray:
+              final_act: bool = False, compute_dtype=None,
+              fused_vjp: bool = False) -> jnp.ndarray:
     fn = activation(act)
     n = len(layers)
     for i, p in enumerate(layers):
+        has_act = final_act or i < n - 1
+        if fused_vjp and has_act and act == "leaky_relu" \
+                and compute_dtype is None:
+            x = _linear_leaky(p["w"], p["b"], x)
+            continue
         x = linear_apply(p, x, compute_dtype)
-        if final_act or i < n - 1:
+        if has_act:
             x = fn(x)
     return x
 

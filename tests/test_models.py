@@ -488,3 +488,80 @@ class TestRematChain:
                          np.asarray(jax.tree_util.tree_leaves(ts2.params)[0])))
         np.testing.assert_allclose(outs[0][0], outs[1][0], rtol=1e-6)
         np.testing.assert_allclose(outs[0][1], outs[1][1], atol=1e-6)
+
+
+class TestFusedLeakyVjp:
+    def test_unit_values_and_grads_match(self):
+        """_linear_leaky (output-sign backward) must match default autodiff
+        of Linear+LeakyReLU exactly in values and to fp tolerance in grads,
+        in f32 and in an end-to-end bf16 chain (the shading_dtype regime)."""
+        from hybridneuralrendering_tpu.models import mlp
+
+        key = jax.random.PRNGKey(7)
+        layers = mlp.mlp_init(key, (48, 64, 64), "leaky_relu",
+                              final_act=True)
+        x = jax.random.normal(jax.random.PRNGKey(8), (37, 5, 48))
+
+        def loss(fused, ls, xx):
+            y = mlp.mlp_apply(ls, xx, "leaky_relu", final_act=True,
+                              fused_vjp=fused)
+            return jnp.sum(jnp.sin(y))
+
+        truth = jax.value_and_grad(
+            lambda l, z: loss(False, l, z), argnums=(0, 1))(layers, x)[1]
+        truth_leaves = jax.tree_util.tree_leaves(truth)
+        for dt in (jnp.float32, jnp.bfloat16):
+            ls = jax.tree_util.tree_map(lambda a: a.astype(dt), layers)
+            xx = x.astype(dt)
+            v0, g0 = jax.value_and_grad(
+                lambda l, z: loss(False, l, z), argnums=(0, 1))(ls, xx)
+            v1, g1 = jax.value_and_grad(
+                lambda l, z: loss(True, l, z), argnums=(0, 1))(ls, xx)
+            assert float(v0) == float(v1)  # identical forward
+            if dt == jnp.float32:
+                for a, b in zip(jax.tree_util.tree_leaves(g0),
+                                jax.tree_util.tree_leaves(g1)):
+                    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                               rtol=1e-5, atol=1e-5)
+            else:
+                # bf16: the fused bwd accumulates dw/db in f32 while default
+                # autodiff accumulates in bf16, so compare both against the
+                # f32 ground truth — fused must be at least as accurate
+                for t, a, b in zip(truth_leaves,
+                                   jax.tree_util.tree_leaves(g0),
+                                   jax.tree_util.tree_leaves(g1)):
+                    t = np.asarray(t, np.float32)
+                    scale = np.abs(t).max() + 1e-6
+                    err_default = np.abs(np.asarray(a, np.float32) - t).max()
+                    err_fused = np.abs(np.asarray(b, np.float32) - t).max()
+                    assert err_fused <= max(err_default * 1.5, 0.02 * scale), \
+                        (err_fused, err_default, scale)
+
+    def test_train_step_parity(self):
+        """fused_leaky_vjp=True must not change train-step loss or the
+        parameter update beyond fp noise."""
+        import dataclasses
+
+        from hybridneuralrendering_tpu.data.synthetic import (
+            make_synthetic_batch, make_synthetic_scene)
+        from hybridneuralrendering_tpu.train import state as state_mod
+        from hybridneuralrendering_tpu.train import step as step_mod
+
+        cfg0 = C.tiny_test()
+        cfg1 = cfg0.replace(agg=dataclasses.replace(cfg0.agg,
+                                                    fused_leaky_vjp=True))
+        points, grid = make_synthetic_scene(cfg0, num_points=512)
+        batch = make_synthetic_batch(cfg0)
+        params = renderer.init_params(jax.random.PRNGKey(0), cfg0)
+
+        outs = []
+        for cfg in (cfg0, cfg1):
+            pts_i = jax.tree_util.tree_map(jnp.array, points)
+            params_i = jax.tree_util.tree_map(jnp.array, params)
+            ts = state_mod.create_train_state(params_i, pts_i, cfg)
+            ts2, items = step_mod.train_step(
+                ts, grid, batch, jax.random.PRNGKey(3), None, cfg)
+            outs.append((float(items["loss_total"]),
+                         np.asarray(jax.tree_util.tree_leaves(ts2.params)[0])))
+        np.testing.assert_allclose(outs[0][0], outs[1][0], rtol=1e-6)
+        np.testing.assert_allclose(outs[0][1], outs[1][1], atol=2e-6)
