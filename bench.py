@@ -53,6 +53,15 @@ def _apply_dtype_env(cfg, pyramid: bool = True):
     sdt = os.environ.get("BENCH_SHADING_DTYPE")
     if sdt:
         agg = dataclasses.replace(agg, shading_dtype=sdt)
+    fv = os.environ.get("BENCH_FUSED_VJP")
+    if fv:
+        agg = dataclasses.replace(agg, fused_leaky_vjp=fv not in ("0", ""))
+    rm = os.environ.get("BENCH_REMAT_CHAIN")
+    if rm:
+        agg = dataclasses.replace(agg, remat_chain=rm not in ("0", ""))
+    cc = os.environ.get("BENCH_CHAIN_CHUNKS")
+    if cc:
+        agg = dataclasses.replace(agg, chain_chunks=int(cc))
     return cfg.replace(agg=agg)
 
 

@@ -23,10 +23,12 @@ import bench
 key = jax.random.PRNGKey(0)
 
 
-def run(tag, nc, remat=True, iters=15, dtype="float32", sdt=None):
+def run(tag, nc, remat=True, iters=15, dtype="float32", sdt=None,
+        fused=False):
     cfg = bench.bench_config_nerf()
     cfg = cfg.replace(agg=dataclasses.replace(
         cfg.agg, chain_chunks=nc, remat_chain=remat, compute_dtype=dtype,
+        fused_leaky_vjp=fused,
         **({} if sdt is None else {"shading_dtype": sdt})))
     pts, grid = make_synthetic_scene(cfg, num_points=bench.NUM_POINTS_NERF)
     batch = make_synthetic_batch(cfg)
@@ -64,16 +66,21 @@ if __name__ == "__main__":
         # a token "nrN" runs remat_chain=False with N chunks — at bf16 the
         # residual set is half its f32 size, so the no-remat path (which
         # deletes the backward's forward recompute) may now fit HBM.
+        # an "fv" prefix (fvN / fvnrN) additionally enables fused_leaky_vjp
+        # (output-sign backward: halves no-remat residuals again).
         cells = []
         for a in sys.argv[1:]:
+            fused = a.startswith("fv")
+            a = a[2:] if fused else a
             if a.startswith("nr"):
-                cells.append((int(a[2:] or 1), False))
+                cells.append((int(a[2:] or 1), False, fused))
             else:
-                cells.append((int(a), True))
+                cells.append((int(a), True, fused))
         for rep in ("a", "b"):
-            for nc, rm in cells:
-                tag = f"c{nc}{'' if rm else '_noremat'}_shbf16_{rep}"
-                run(tag, nc, remat=rm, sdt="bfloat16")
+            for nc, rm, fv in cells:
+                tag = (f"c{nc}{'' if rm else '_noremat'}"
+                       f"{'_fv' if fv else ''}_shbf16_{rep}")
+                run(tag, nc, remat=rm, sdt="bfloat16", fused=fv)
     else:
         run("c16_f32", 16)
         run("c16_bf16", 16, dtype="bfloat16")

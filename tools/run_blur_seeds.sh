@@ -35,10 +35,16 @@ run_one () {  # scan blur_mode seed name
   cat "$CKPT/${name}_test/scores.txt"
 }
 
+# priority order: the blurry off/bank/learnable triples carry the headline
+# claims (blur damage, bank recovery, learnable-at-budget) — run ALL seeds
+# of those before the sharp controls so a TPU-time cutoff still leaves
+# per-seed paired deltas (summarize_seeds.py) for the main table.
 for seed in $SEEDS; do
   run_one roomhfblur off       "$seed" "s${seed}_hfblur_off"
   run_one roomhfblur bank      "$seed" "s${seed}_hfblur_bank"
   run_one roomhfblur learnable "$seed" "s${seed}_hfblur_lrn"
+done
+for seed in $SEEDS; do
   run_one roomhf     off       "$seed" "s${seed}_hf_off"
   run_one roomhf     bank      "$seed" "s${seed}_hf_bank"
 done
