@@ -31,10 +31,10 @@ import bench
 key = jax.random.PRNGKey(0)
 
 
-def run(tag, nc, remat, iters=12):
+def run(tag, nc, remat, iters=12, fused=False):
     cfg = bench.bench_config()
     cfg = cfg.replace(agg=dataclasses.replace(
-        cfg.agg, chain_chunks=nc, remat_chain=remat))
+        cfg.agg, chain_chunks=nc, remat_chain=remat, fused_leaky_vjp=fused))
     points, grid = make_synthetic_scene(cfg, num_points=bench.NUM_POINTS)
     batch = make_synthetic_batch(cfg)
     params = renderer.init_params(jax.random.PRNGKey(0), cfg)
@@ -75,9 +75,18 @@ if __name__ == "__main__":
     # two interleaved passes over the configs (compiles cache after pass 1),
     # so per-config pairs bracket clock drift — the repo's bench noise rule
     # (±3%) and the shuffled-repeat protocol ablate_nerf_chunks used
-    configs = [("nc1_noremat (shipped)", 1, False), ("nc4_noremat", 4, False),
-               ("nc8_noremat", 8, False), ("nc8_remat", 8, True),
-               ("nc16_remat", 16, True)]
+    if len(sys.argv) > 1 and sys.argv[1] == "fv":
+        # round-5: fused_leaky_vjp A/B on the shipped ScanNet config
+        # (remat OFF here, so the output-sign backward halves the chain's
+        # saved-residual traffic directly — cached-step variant)
+        configs = [("nc1_base", 1, False, False),
+                   ("nc1_fused", 1, False, True)]
+    else:
+        configs = [("nc1_noremat (shipped)", 1, False, False),
+                   ("nc4_noremat", 4, False, False),
+                   ("nc8_noremat", 8, False, False),
+                   ("nc8_remat", 8, True, False),
+                   ("nc16_remat", 16, True, False)]
     for rep in range(2):
-        for tag, nc, remat in configs:
-            run(f"{tag} pass{rep}", nc, remat)
+        for tag, nc, remat, fv in configs:
+            run(f"{tag} pass{rep}", nc, remat, fused=fv)

@@ -9,6 +9,7 @@
 set -u
 cd "$(dirname "$0")/.."
 export PYTHONPATH=/root/repo/.runsnap:/root/repo:/root/.axon_site
+. tools/watchdog_lib.sh
 STEPS=${1:-8000}
 shift || true
 SEEDS=${@:-"0 1 2"}
@@ -20,11 +21,12 @@ run_one () {  # scan blur_mode seed name
     echo "=== $name done, skipping ==="; return 0
   fi
   echo "=== $name (scan=$scan blur=$mode seed=$seed) ==="
-  timeout 7200 python -m hybridneuralrendering_tpu.cli.train \
+  wd_train "$CKPT/$name/log.txt" \
+    python -m hybridneuralrendering_tpu.cli.train \
     --preset fixture_room --data-root .fixture --scan "$scan" \
     --checkpoints-dir "$CKPT" --name "$name" \
     --max-steps "$STEPS" --test-freq "$STEPS" --test-num 4 --prob-freq 0 \
-    --save-freq "$STEPS" \
+    --save-freq 2000 \
     --blur-mode "$mode" --frame-weight 0 --seed "$seed" \
     || { echo "TRAIN FAILED: $name"; return 1; }
   timeout 2400 python -m hybridneuralrendering_tpu.cli.test \

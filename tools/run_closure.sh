@@ -23,6 +23,7 @@
 set -u
 cd "$(dirname "$0")/.."
 export PYTHONPATH=/root/repo/.runsnap:/root/repo:/root/.axon_site
+. tools/watchdog_lib.sh
 STEPS=${1:-20000}
 WHICH=${2:-both}
 CKPT=.fixture/ckpts_r5
@@ -31,7 +32,8 @@ BOX="-0.9 -0.7 2.85 0.3 0.5 3.25"
 run_one () {  # name extra-args...
   local name=$1; shift
   echo "=== $name ($STEPS steps) ==="
-  timeout 18000 python -m hybridneuralrendering_tpu.cli.train \
+  wd_train "$CKPT/$name/log.txt" \
+    python -m hybridneuralrendering_tpu.cli.train \
     --preset fixture_room --data-root .fixture --scan roomsim \
     --checkpoints-dir "$CKPT" --name "$name" \
     --max-steps "$STEPS" --test-freq 2500 --test-num 8 --save-freq 2500 \
