@@ -32,6 +32,10 @@ import numpy as np
 cache_dir = os.path.join(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))), ".jax_cache")
 jax.config.update("jax_compilation_cache_dir", cache_dir)
+if os.environ.get("DEDUP_CPU"):
+    # the census is platform-independent; CPU avoids touching a busy chip.
+    # (JAX_PLATFORMS env is pinned to axon by sitecustomize — config wins.)
+    jax.config.update("jax_platforms", "cpu")
 
 from hybridneuralrendering_tpu.data.synthetic import (make_synthetic_batch,
                                                       make_synthetic_scene)
@@ -44,9 +48,11 @@ def census(tag, cfg, num_points, n_batches=4):
     batch = make_synthetic_batch(cfg)
     qcfg, rcfg = cfg.querier, cfg.render
 
+    # grid/xyz must be jit ARGUMENTS — closed-over they become HLO
+    # constants and the axon compiler rejects the body (HTTP 413)
     @jax.jit
-    def stats(campos, raydir, key):
-        qres = Q.query_points(grid, pts.xyz, campos, raydir, qcfg,
+    def stats(grid, xyz, campos, raydir, key):
+        qres = Q.query_points(grid, xyz, campos, raydir, qcfg,
                               rcfg.near_plane, rcfg.far_plane, key=key,
                               train=True)
         ids = jnp.where(qres.pnt_mask, qres.sample_pidx, -1).reshape(-1)
@@ -58,7 +64,7 @@ def census(tag, cfg, num_points, n_batches=4):
 
     key = jax.random.PRNGKey(0)
     for i in range(n_batches):
-        u, v = stats(batch["campos"], batch["raydir"],
+        u, v = stats(grid, pts.xyz, batch["campos"], batch["raydir"],
                      jax.random.fold_in(key, i))
         m = int(np.prod((
             cfg.sampling.rays_per_batch, qcfg.SR, qcfg.K)))
@@ -80,18 +86,20 @@ def gather_rate(m=602_112, width=64, iters=30):
                                   jnp.int32)
 
         @jax.jit
-        def step(idx, t=table, nn=n):
+        def step(t, idx, nn=n):
+            # table as an ARGUMENT (closed-over it becomes an HLO constant
+            # and the axon compiler rejects the body with HTTP 413)
             out = t[idx]
             # data dependence: fold a value-derived (always-zero) term into
             # the next indices without changing them
             bump = (jnp.sum(out, axis=-1) > 1e30).astype(jnp.int32)
             return (idx + bump) % nn
 
-        idx = step(idx0)
+        idx = step(table, idx0)
         idx.block_until_ready()
         t0 = time.perf_counter()
         for _ in range(iters):
-            idx = step(idx)
+            idx = step(table, idx)
         idx.block_until_ready()
         dt = (time.perf_counter() - t0) / iters
         print(json.dumps({
