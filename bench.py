@@ -62,6 +62,9 @@ def _apply_dtype_env(cfg, pyramid: bool = True):
     cc = os.environ.get("BENCH_CHAIN_CHUNKS")
     if cc:
         agg = dataclasses.replace(agg, chain_chunks=int(cc))
+    dd = os.environ.get("BENCH_DEDUP")
+    if dd:
+        agg = dataclasses.replace(agg, dedup_gather=int(dd))
     return cfg.replace(agg=agg)
 
 

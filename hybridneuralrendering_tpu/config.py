@@ -193,6 +193,15 @@ class AggregatorConfig:
     # chain's residual set halves to one tensor per layer (models/mlp.py
     # _linear_leaky).  Only active for act_type=leaky_relu.
     fused_leaky_vjp: bool = False
+    # Unique-row dedup for the big attribute gather (VERDICT r4 #5): one
+    # step's [R,SR,K] ids hit ~68k unique points of the 602k gather slots
+    # on the canonical ScanNet workload (8.8x, 47x on NeRF — census in
+    # PERF.md).  >0 = static unique-capacity of the compact table; the
+    # gather falls back in-graph (lax.cond) to the direct path on
+    # overflow, so results are exact at any setting.  0 = off (default
+    # until the bench A/B validates it; see models/neural_points.py
+    # _gather_rows_dedup).
+    dedup_gather: int = 0
 
     # Hybrid rendering (image-based branch).
     use_nearest: int = 4                  # number of nearby training views fused

@@ -84,7 +84,8 @@ def render(params: Dict, points: npts.NeuralPoints, grid: PointGrid,
     qres = Q.query_points(grid, points.xyz, campos, raydir, qcfg,
                           rcfg.near_plane, rcfg.far_plane, key=key,
                           train=train)
-    sampled = npts.gather(points, qres.sample_pidx)
+    sampled = npts.gather(points, qres.sample_pidx,
+                          dedup=acfg.dedup_gather)
     sample_loc = w2pers(qres.sample_loc_w, batch["camrotc2w"], campos)
     sampled_xyz_pers = w2pers(sampled.xyz, batch["camrotc2w"], campos)
     sample_ray_dirs = jnp.broadcast_to(

@@ -88,6 +88,54 @@ class TestGatherRowsVJP:
         present[np.asarray(idx).reshape(-1)] = True
         assert np.all(np.asarray(g_custom)[~present] == 0.0)
 
+    def test_dedup_gather_values_and_grads_exact(self):
+        """_gather_rows_dedup (unique-row compact table + int expansion,
+        VERDICT r4 #5) must reproduce the direct gather bit-for-bit in the
+        forward and match the plain-gather gradient, for u_cap above the
+        unique count, exactly AT it, and BELOW it (overflow -> in-graph
+        direct fallback)."""
+        rng = np.random.default_rng(11)
+        n, f = 131, 5
+        table = jnp.asarray(rng.normal(size=(n, f)).astype(np.float32))
+        # heavy duplication like the real [R,SR,K] ids: 29 unique ids
+        pool = rng.choice(n, size=29, replace=False)
+        idx = jnp.asarray(rng.choice(pool, size=(9, 5, 4)).astype(np.int32))
+        ct = jnp.asarray(rng.normal(size=(9, 5, 4, f)).astype(np.float32))
+        n_unique = len(np.unique(np.asarray(idx)))
+        direct = np.asarray(table)[np.asarray(idx)]
+
+        for u_cap in (n_unique + 40, n_unique, n_unique - 5):
+            out = npts._gather_rows_dedup(table, idx, u_cap)
+            np.testing.assert_array_equal(np.asarray(out), direct)
+
+            def via_dedup(t, u=u_cap):
+                return jnp.sum(npts._gather_rows_dedup(t, idx, u) * ct)
+
+            g_dedup = jax.grad(via_dedup)(table)
+            g_plain = jax.grad(lambda t: jnp.sum(t[idx] * ct))(table)
+            np.testing.assert_allclose(np.asarray(g_dedup),
+                                       np.asarray(g_plain),
+                                       rtol=2e-4, atol=1e-5)
+
+    def test_dedup_gather_jits_and_matches_full_gather_api(self):
+        """gather(..., dedup=U) equals gather(...) through the public API
+        under jit (the renderer calls it inside the train step)."""
+        cfg = C.PointsConfig(num_points=64, feature_dim=8)
+        rng = np.random.default_rng(3)
+        pts = npts.init_from_arrays(
+            rng.uniform(-1, 1, (64, 3)).astype(np.float32), cfg,
+            conf=rng.uniform(0.3, 1.0, (64, 1)),
+            color=rng.uniform(0, 1, (64, 3)),
+            dirs=rng.normal(size=(64, 3)),
+            key=jax.random.PRNGKey(0))
+        pidx = jnp.asarray(rng.integers(-1, 64, size=(7, 3, 2)).astype(
+            np.int32))
+
+        base = jax.jit(lambda p, i: npts.gather(p, i))(pts, pidx)
+        dd = jax.jit(lambda p, i: npts.gather(p, i, dedup=48))(pts, pidx)
+        for a, b in zip(base[:5], dd[:5]):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
 
 class TestAggregatorUnits:
     def test_gradient_clamp_straight_through(self):
@@ -288,6 +336,21 @@ class TestRenderer:
             leaf_sum = sum(float(jnp.abs(g).sum()) for g in
                            jax.tree_util.tree_leaves(gp["aggregator"][name]))
             assert leaf_sum > 0, f"no grad for {name}"
+
+    def test_dedup_gather_render_parity(self):
+        """cfg.agg.dedup_gather must not change the rendered output (same
+        loss-bearing forward through the full renderer)."""
+        import dataclasses
+        cfg = tiny()
+        points, grid = make_scene(cfg)
+        batch = make_batch(cfg)
+        params = renderer.init_params(jax.random.PRNGKey(0), cfg)
+        base = renderer.render(params, points, grid, batch, cfg)
+        cfg_dd = cfg.replace(agg=dataclasses.replace(
+            cfg.agg, dedup_gather=4096))
+        dd = renderer.render(params, points, grid, batch, cfg_dd)
+        np.testing.assert_array_equal(np.asarray(base["coarse_raycolor"]),
+                                      np.asarray(dd["coarse_raycolor"]))
 
     def test_prob_outputs(self):
         cfg = tiny()
