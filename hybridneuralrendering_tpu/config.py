@@ -198,10 +198,18 @@ class AggregatorConfig:
     # on the canonical ScanNet workload (8.8x, 47x on NeRF — census in
     # PERF.md).  >0 = static unique-capacity of the compact table; the
     # gather falls back in-graph (lax.cond) to the direct path on
-    # overflow, so results are exact at any setting.  0 = off (default
-    # until the bench A/B validates it; see models/neural_points.py
-    # _gather_rows_dedup).
-    dedup_gather: int = 0
+    # overflow, so results are exact at any setting.  Bench A/B (round 5):
+    # pyramid-cached step 27,515 -> 28,455 rays/s (+3.4%) but CNN-burst
+    # step -7% (the extra sort/int passes don't overlap with conv work),
+    # so the renderer applies it only to the staged (cached) executable
+    # unless dedup_uncached=True opts the other graphs in (see
+    # models/neural_points.py _gather_rows_dedup).  Default on: blended
+    # bench 26,772 -> 27,702 rays/s; the canonical step's unique count
+    # (~68.6k) sits at 0.70x this cap, and the in-graph fallback keeps
+    # any other workload exact (clamped to the slot count for small
+    # fixtures).  BENCH_DEDUP=0 disables for A/Bs.
+    dedup_gather: int = 98_304
+    dedup_uncached: bool = False
 
     # Hybrid rendering (image-based branch).
     use_nearest: int = 4                  # number of nearby training views fused

@@ -303,6 +303,10 @@ def _dedup_gather_impl(table, idx, u_cap: int):
     result is always exact."""
     flat = idx.reshape(-1).astype(jnp.int32)
     m = flat.shape[0]
+    # unique count can never exceed the slot count: clamp the static cap
+    # so small workloads (tests, fixtures) don't gather an oversized
+    # mostly-zero compact table
+    u_cap = min(int(u_cap), m)
     pos = jnp.arange(m, dtype=jnp.int32)
     # one sort yields sorted ids AND the permutation (r3 one-sort lesson)
     si, order = jax.lax.sort((flat, pos), num_keys=1, is_stable=True)

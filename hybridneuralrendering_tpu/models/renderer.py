@@ -84,8 +84,13 @@ def render(params: Dict, points: npts.NeuralPoints, grid: PointGrid,
     qres = Q.query_points(grid, points.xyz, campos, raydir, qcfg,
                           rcfg.near_plane, rcfg.far_plane, key=key,
                           train=train)
-    sampled = npts.gather(points, qres.sample_pidx,
-                          dedup=acfg.dedup_gather)
+    # Unique-row dedup pays on the pyramid-cached step (+3.4% bench r5)
+    # but LOSES on the CNN-burst step (-7%: the added sort/int passes
+    # don't overlap with the CNN's conv work) — gate it to the cached
+    # executable unless dedup_uncached opts the other graphs in.
+    dd = acfg.dedup_gather if (img_feat_staged is not None
+                               or acfg.dedup_uncached) else 0
+    sampled = npts.gather(points, qres.sample_pidx, dedup=dd)
     sample_loc = w2pers(qres.sample_loc_w, batch["camrotc2w"], campos)
     sampled_xyz_pers = w2pers(sampled.xyz, batch["camrotc2w"], campos)
     sample_ray_dirs = jnp.broadcast_to(

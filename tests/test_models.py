@@ -346,8 +346,10 @@ class TestRenderer:
         batch = make_batch(cfg)
         params = renderer.init_params(jax.random.PRNGKey(0), cfg)
         base = renderer.render(params, points, grid, batch, cfg)
+        # dedup_uncached opts the non-staged graph in (the default gate
+        # applies dedup only to the pyramid-cached executable)
         cfg_dd = cfg.replace(agg=dataclasses.replace(
-            cfg.agg, dedup_gather=4096))
+            cfg.agg, dedup_gather=4096, dedup_uncached=True))
         dd = renderer.render(params, points, grid, batch, cfg_dd)
         np.testing.assert_array_equal(np.asarray(base["coarse_raycolor"]),
                                       np.asarray(dd["coarse_raycolor"]))
